@@ -1,0 +1,172 @@
+"""Single dataclass config + argparse shim.
+
+One `TrainConfig` drives all three dataset trainers; the reference's
+three near-identical argparse blocks (train_DyCON_{BraTS19,Pancreas,
+ISLES22}.py) become per-dataset default sets over the same schema, with
+identical flag names/defaults so launch scripts port 1:1. The silent
+in-code overrides the reference applies (e.g. BraTS hardcodes
+patch_size=(96,96,96) and num_classes=2 over the CLI values,
+train_DyCON_BraTS19.py:146-147) are explicit defaults here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Any, Sequence
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # paths / experiment
+    root_dir: str = "../data/Pancreas"
+    exp: str = "PancreasCT"
+    model: str = "unet_3D"
+    dataset: str = "pancreas"  # pancreas | brats19 | isles22
+    snapshot_root: str = "./runs"
+
+    # reproducibility
+    seed: int = 1337
+    deterministic: int = 1
+
+    # model
+    in_ch: int = 1
+    num_classes: int = 2
+    feature_scaler: int = 2
+    use_aspp: bool = False
+    patch_size: tuple[int, int, int] = (112, 112, 96)
+
+    # optimization
+    max_iterations: int = 20000
+    batch_size: int = 8
+    labeled_bs: int = 4
+    base_lr: float = 0.01
+    lr_schedule: str = "const"  # const | poly (ISLES)
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    grad_clip_norm: float = 1.0
+
+    # SSL
+    labelnum: int = 12
+    ema_decay: float = 0.99
+    consistency: float = 0.1
+    consistency_type: str = "mse"  # mse | kl
+    consistency_rampup: float = 200.0
+
+    # DyCON
+    gamma: float = 2.0
+    beta_min: float = 0.5
+    beta_max: float = 5.0
+    s_beta: float | None = None
+    temp: float = 0.6
+    l_weight: float = 1.0
+    u_weight: float = 0.5
+    use_focal: int = 1
+    use_teacher_loss: int = 1
+    fecl_rampup_epochs: float = 1500.0
+
+    # dataset-behavior switches (the ISLES trainer deltas)
+    teacher_train_mode: bool = True  # BraTS/Pancreas run teacher w/ dropout; ISLES eval
+    dice_loss_kind: str = "binary"  # binary (fg-prob dice) | nclass (ISLES DiceLoss)
+    mask_kernel_mode: str = "fixed"  # fixed: feature_scaler*4; derived: from shapes
+
+    # eval cadence
+    val_every: int = 200
+    save_every: int = 3000
+    val_stride_xy: int = 64
+    val_stride_z: int = 64
+
+    # runtime
+    compute_dtype: str = "float32"  # float32 | bfloat16
+    num_prefetch: int = 2
+    data_parallel: int = 0  # 0 = all visible devices
+
+    def snapshot_path(self) -> str:
+        beta_str = f"_beta{self.s_beta}" if self.s_beta is not None else f"_beta{self.beta_min}-{self.beta_max}"
+        focal_str = "Focal" if self.use_focal else "NoFocal"
+        gamma_str = f"_gamma{self.gamma}" if self.use_focal else ""
+        teacher_str = "Teacher" if self.use_teacher_loss else "NoTeacher"
+        return (
+            f"{self.snapshot_root}/{self.exp}/{self.model.upper()}_{self.labelnum}labels_"
+            f"{self.consistency_type}{gamma_str}_{focal_str}_{teacher_str}_temp{self.temp}"
+            f"{beta_str}_max_iterations{self.max_iterations}"
+        )
+
+
+DATASET_DEFAULTS: dict[str, dict[str, Any]] = {
+    "pancreas": dict(
+        root_dir="../data/Pancreas", exp="PancreasCT", dataset="pancreas",
+        patch_size=(112, 112, 96), feature_scaler=2, labelnum=12,
+        batch_size=8, labeled_bs=4, lr_schedule="const",
+        teacher_train_mode=True, dice_loss_kind="binary", mask_kernel_mode="fixed",
+    ),
+    "brats19": dict(
+        root_dir="../data/BraTS2019", exp="BraTS2019", dataset="brats19",
+        patch_size=(96, 96, 96), feature_scaler=2, labelnum=25,
+        batch_size=8, labeled_bs=4, lr_schedule="const",
+        teacher_train_mode=True, dice_loss_kind="binary", mask_kernel_mode="fixed",
+    ),
+    "isles22": dict(
+        root_dir="../data/ISLES22", exp="ISLES22", dataset="isles22",
+        patch_size=(96, 96, 64), feature_scaler=4, labelnum=10,
+        batch_size=8, labeled_bs=4, lr_schedule="poly",
+        teacher_train_mode=False, dice_loss_kind="nclass", mask_kernel_mode="derived",
+    ),
+}
+
+
+def make_config(dataset: str, **overrides: Any) -> TrainConfig:
+    kw = dict(DATASET_DEFAULTS[dataset])
+    kw.update(overrides)
+    return TrainConfig(**kw)
+
+
+def build_parser(dataset: str) -> argparse.ArgumentParser:
+    """Argparse shim with the reference's flag names over TrainConfig."""
+    d = make_config(dataset)
+    p = argparse.ArgumentParser(description=f"Training DyCON-TPU on {d.exp}")
+    p.add_argument("--root_dir", type=str, default=d.root_dir)
+    p.add_argument("--exp", type=str, default=d.exp)
+    p.add_argument("--model", type=str, choices=["unet_3D", "vnet"], default=d.model)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--deterministic", type=int, default=d.deterministic)
+    p.add_argument("--in_ch", type=int, default=d.in_ch)
+    p.add_argument("--num_classes", type=int, default=d.num_classes)
+    p.add_argument("--feature_scaler", type=int, default=d.feature_scaler)
+    p.add_argument("--patch_size", type=int, nargs=3, default=list(d.patch_size))
+    p.add_argument("--max_iterations", type=int, default=d.max_iterations)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--labeled_bs", type=int, default=d.labeled_bs)
+    p.add_argument("--base_lr", type=float, default=d.base_lr)
+    p.add_argument("--labelnum", type=int, default=d.labelnum)
+    p.add_argument("--ema_decay", type=float, default=d.ema_decay)
+    p.add_argument("--consistency", type=float, default=d.consistency)
+    p.add_argument("--consistency_type", type=str, default=d.consistency_type)
+    p.add_argument("--consistency_rampup", type=float, default=d.consistency_rampup)
+    p.add_argument("--gamma", type=float, default=d.gamma)
+    p.add_argument("--beta_min", type=float, default=d.beta_min)
+    p.add_argument("--beta_max", type=float, default=d.beta_max)
+    p.add_argument("--s_beta", type=float, default=None)
+    p.add_argument("--temp", type=float, default=d.temp)
+    p.add_argument("--l_weight", type=float, default=d.l_weight)
+    p.add_argument("--u_weight", type=float, default=d.u_weight)
+    p.add_argument("--use_focal", type=int, default=d.use_focal)
+    p.add_argument("--use_teacher_loss", type=int, default=d.use_teacher_loss)
+    p.add_argument("--snapshot_root", type=str, default=d.snapshot_root)
+    p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--val_every", type=int, default=d.val_every)
+    p.add_argument("--data_parallel", type=int, default=d.data_parallel)
+    # kept for launch-script compatibility; device selection is JAX's
+    p.add_argument("--gpu_id", type=str, default="0")
+    p.add_argument("--gpu_ids", type=str, default="0")
+    p.add_argument("--use_ddp", type=int, default=0)
+    return p
+
+
+def config_from_args(dataset: str, argv: Sequence[str] | None = None) -> TrainConfig:
+    args = build_parser(dataset).parse_args(argv)
+    field_names = {f.name for f in dataclasses.fields(TrainConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in field_names}
+    kw["patch_size"] = tuple(kw["patch_size"])
+    return make_config(dataset, **kw)

@@ -1,0 +1,202 @@
+"""Per-dataset validation / test drivers over the sliding-window engine.
+
+Replaces the reference's family of var_all_case_* / test_all_case_*
+loops (test_3d_patch.py:28-290) with two generic drivers parameterized
+by an iterable of (image, label) volumes:
+
+  var_all_case  — dice-only validation (used every `val_every` training
+                  iterations with coarse strides);
+  test_all_case — full per-case (Dice, Jaccard, HD95, ASD) table with
+                  optional largest-connected-component post-processing
+                  and a performance.txt artifact.
+
+Plus the ISLES-2022 whole-volume (single forward, no sliding window)
+variants mirroring train_DyCON_ISLES22.py:345-389 / test_ISLES22.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Iterator
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import metrics
+from .sliding_window import SlidingWindowInference
+
+
+def iter_h5_volumes(
+    paths: Iterable[str], label_key: str = "label", axial_transpose: bool = False
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Yield (image, label) float/uint8 volume pairs from .h5 files.
+    `axial_transpose` applies the BraTS (2,1,0) view change to both."""
+    for path in paths:
+        with h5py.File(path, "r") as f:
+            image = f["image"][:]
+            label = f[label_key][:].astype(np.uint8)
+        if axial_transpose:
+            image = np.transpose(image, (2, 1, 0))
+            label = np.transpose(label, (2, 1, 0))
+        yield image, label
+
+
+def var_all_case(
+    sw: SlidingWindowInference, params, state, volumes: Iterable[tuple[np.ndarray, np.ndarray]]
+) -> float:
+    """Mean Dice over the validation volumes (0 for empty predictions)."""
+    total, n = 0.0, 0
+    for image, label in volumes:
+        pred, _ = sw(params, state, image)
+        total += metrics.dice(pred, label) if pred.sum() > 0 else 0.0
+        n += 1
+    return total / max(n, 1)
+
+
+def test_all_case(
+    sw: SlidingWindowInference,
+    params,
+    state,
+    volumes: Iterable[tuple[np.ndarray, np.ndarray]],
+    *,
+    nms: bool = False,
+    metric_detail: bool = False,
+    test_save_path: str | None = None,
+) -> np.ndarray:
+    """Average (dice, jaccard, hd95, asd) over the test volumes."""
+    total = np.zeros(4)
+    n = 0
+    if metric_detail:
+        print(f"{'ID':<3} | {'Dice':<8} | {'Jaccard':<8} | {'HD95':<8} | {'ASD':<8}")
+        print("-" * 45)
+    for image, label in volumes:
+        pred, _ = sw(params, state, image)
+        if nms:
+            pred = metrics.largest_connected_component(pred)
+        if pred.sum() == 0:
+            case = (0.0, 0.0, 0.0, 0.0)
+        else:
+            case = metrics.calculate_metric_percase(pred, label)
+        if metric_detail:
+            print(f"{n:02d}  | {case[0]:<8.5f} | {case[1]:<8.5f} | {case[2]:<8.5f} | {case[3]:<8.5f}")
+        total += np.asarray(case)
+        n += 1
+    avg = total / max(n, 1)
+    print(f"average metric is {avg}")
+    if test_save_path is not None:
+        os.makedirs(test_save_path, exist_ok=True)
+        with open(os.path.join(test_save_path, "performance.txt"), "w") as f:
+            f.write(f"average metric is {avg} \n")
+    return avg
+
+
+# ---------------- whole-volume (ISLES) evaluation ----------------
+
+
+class WholeVolumeInference:
+    """Single-forward whole-volume prediction with pad-to-patch-size
+    (the ISLES validation protocol). Jitted per volume-shape bucket."""
+
+    def __init__(self, model, patch_size: tuple[int, int, int], shape_bucket: int = 16):
+        self.model = model
+        self.patch = tuple(patch_size)
+        self.shape_bucket = shape_bucket
+        self._compiled: dict = {}
+
+    def _fn(self, shape):
+        if shape not in self._compiled:
+            model = self.model
+
+            @jax.jit
+            def run(params, state, vol):
+                (_, logits, _), _ = model.apply(
+                    params, state, vol[None], train=False, with_projection=False
+                )
+                return jnp.argmax(logits[0], axis=-1)
+
+            self._compiled[shape] = run
+        return self._compiled[shape]
+
+    def predict(self, params, state, image: np.ndarray) -> np.ndarray:
+        image = np.asarray(image, np.float32)
+        # symmetric pad (floor+1 convention of the ISLES trainer) then
+        # round up to /16 for the U-Net pooling ladder
+        pads = []
+        for size, p in zip(image.shape, self.patch):
+            extra = max((p - size) // 2 + 1, 0) if size < p else 0
+            pads.append((extra, extra))
+        padded = np.pad(image, pads, mode="constant")
+        bshape = tuple(max(((s + 15) // 16) * 16, 16) for s in padded.shape)
+        padded = np.pad(padded, [(0, b - s) for s, b in zip(padded.shape, bshape)])
+        run = self._fn(bshape)
+        pred = np.asarray(run(params, state, jnp.asarray(padded[..., None])))
+        sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, image.shape))
+        return pred[sl]
+
+    __call__ = predict
+
+
+def var_all_case_wholevolume(
+    wv: WholeVolumeInference, params, state, volumes: Iterable[tuple[np.ndarray, np.ndarray]]
+) -> float:
+    """ISLES in-training validation: mean soft Dice of argmax==1 vs gt==1
+    (smooth=1 as in reference metrics.dice, train_DyCON_ISLES22.py:370)."""
+    total, n = 0.0, 0
+    for image, label in volumes:
+        pred = wv.predict(params, state, image)
+        p = (pred == 1).astype(np.float64)
+        t = (label == 1).astype(np.float64)
+        total += (2.0 * (p * t).sum() + 1.0) / (p.sum() + t.sum() + 1.0)
+        n += 1
+    return total / max(n, 1)
+
+
+def test_all_case_wholevolume(
+    wv: WholeVolumeInference,
+    params,
+    state,
+    volumes: Iterable[tuple[np.ndarray, np.ndarray]],
+    *,
+    results_path: str | None = None,
+) -> dict:
+    """ISLES offline test: per-case dice/hd95/asd/sensitivity/specificity
+    with the reference's empty-mask edge handling (test_ISLES22.py:98-121):
+    both empty -> perfect; gt empty, pred not -> zeros with hd95=inf."""
+    rows = []
+    for image, label in volumes:
+        pred = wv.predict(params, state, image)
+        p, t = pred == 1, label == 1
+        if t.sum() == 0 and p.sum() == 0:
+            case = dict(dice=1.0, hd95=0.0, asd=0.0, sensitivity=1.0, specificity=1.0)
+        elif t.sum() == 0 or p.sum() == 0:
+            case = dict(
+                dice=0.0,
+                hd95=float("inf"),
+                asd=float("inf"),
+                sensitivity=0.0 if t.sum() else 0.0,
+                specificity=metrics.specificity(p, t),
+            )
+        else:
+            case = dict(
+                dice=metrics.dice(p, t),
+                hd95=metrics.hd95(p, t),
+                asd=metrics.asd(p, t),
+                sensitivity=metrics.sensitivity(p, t),
+                specificity=metrics.specificity(p, t),
+            )
+        rows.append(case)
+    finite = lambda k: [r[k] for r in rows if np.isfinite(r[k])]
+    summary = {k: float(np.mean(finite(k))) if finite(k) else float("inf")
+               for k in ("dice", "hd95", "asd", "sensitivity", "specificity")}
+    summary["cases"] = rows
+    if results_path is not None:
+        with open(results_path, "w") as f:
+            for i, r in enumerate(rows):
+                f.write(
+                    f"case {i}: dice={r['dice']:.4f} hd95={r['hd95']:.4f} "
+                    f"asd={r['asd']:.4f} sens={r['sensitivity']:.4f} spec={r['specificity']:.4f}\n"
+                )
+            f.write(f"summary: {summary}\n")
+    return summary

@@ -1,0 +1,144 @@
+"""Low-level functional layers for NDHWC 3D volumes.
+
+Parameters are plain nested dicts (pytrees); every layer is a pure
+function `apply(params, x, ...)` plus an `init(key, ...)` constructor.
+Conv kernels are stored DHWIO — the layout XLA's TPU conv emitter wants.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+_CONV_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def conv3d_init(
+    key: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    kernel: tuple[int, int, int] = (3, 3, 3),
+    use_bias: bool = True,
+    dtype=jnp.float32,
+) -> Params:
+    """Kaiming-normal (fan_in, ReLU gain) kernel + torch-default uniform bias.
+
+    Matches the reference init scheme (networks_other.py:40-48): kernel
+    std = sqrt(2 / fan_in); bias ~ U(±1/sqrt(fan_in)) (torch Conv3d default,
+    untouched by the reference's init pass).
+    """
+    k_key, b_key = jax.random.split(key)
+    fan_in = in_ch * math.prod(kernel)
+    w = jax.random.normal(k_key, kernel + (in_ch, out_ch), dtype) * math.sqrt(2.0 / fan_in)
+    p: Params = {"w": w}
+    if use_bias:
+        bound = 1.0 / math.sqrt(fan_in)
+        p["b"] = jax.random.uniform(b_key, (out_ch,), dtype, -bound, bound)
+    return p
+
+
+def conv3d(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    stride: tuple[int, int, int] = (1, 1, 1),
+    padding: str | tuple = "SAME",
+    dilation: tuple[int, int, int] = (1, 1, 1),
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """3-D convolution over (B, D1, D2, D3, C)."""
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    return y
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-sample, per-channel normalization over the spatial axes.
+
+    No affine transform and no running stats (torch InstanceNorm3d
+    defaults, which the reference's conv blocks rely on — see
+    networks/utils.py:104-110); train and eval behave identically.
+    Stats are taken in float32 for stability under bf16 compute.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def batch_norm_init(ch: int, dtype=jnp.float32) -> tuple[Params, Params]:
+    """BatchNorm params (scale ~ N(1, 0.02), bias 0 — reference init) and
+    running-stat state (mean 0, var 1)."""
+    params = {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
+    state = {"mean": jnp.zeros((ch,), jnp.float32), "var": jnp.ones((ch,), jnp.float32)}
+    return params, state
+
+
+def batch_norm_rand_init(key: jax.Array, ch: int, dtype=jnp.float32) -> tuple[Params, Params]:
+    params = {
+        "scale": 1.0 + 0.02 * jax.random.normal(key, (ch,), dtype),
+        "bias": jnp.zeros((ch,), dtype),
+    }
+    state = {"mean": jnp.zeros((ch,), jnp.float32), "var": jnp.ones((ch,), jnp.float32)}
+    return params, state
+
+
+def batch_norm(
+    params: Params,
+    state: Params,
+    x: jnp.ndarray,
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> tuple[jnp.ndarray, Params]:
+    """Channel batch norm over (B, D1, D2, D3, C).
+
+    Train: normalize with batch stats (biased var), update running stats
+    with the unbiased var (torch convention). Eval: use running stats.
+    Returns (y, new_state).
+    """
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2, 3))
+        n = x.size // x.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype), new_state
+
+
+def dropout(x: jnp.ndarray, rate: float, key: jax.Array | None, train: bool) -> jnp.ndarray:
+    """Inverted dropout (scale by 1/keep at train time)."""
+    if not train or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

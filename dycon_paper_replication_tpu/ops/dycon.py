@@ -1,0 +1,146 @@
+"""DyCON's two signature losses as pure jnp functions.
+
+* UnCL — uncertainty-aware consistency between student and teacher
+  voxel class distributions, weighted by the exponentiated Shannon
+  entropies of both predictions.
+* FeCL — voxel-level focal InfoNCE over projection-head embeddings with
+  an auxiliary teacher cross-negative branch.
+
+Behavioral parity targets (reference, for auditing only — re-derived
+from the published math, not translated):
+  /root/reference/code/utils/dycon_losses.py:94-118  (UnCLoss)
+  /root/reference/code/utils/dycon_losses.py:150-235 (FeCLoss)
+
+Faithfulness notes (quirks that define the trained behavior, kept
+deliberately — see SURVEY.md §7 "faithfulness ledger"):
+  * UnCL's entropy penalty: the reference adds a (B,1,...) entropy map to
+    a (B,...) summed-difference map, which broadcasts to (B,B,...) before
+    the mean. Because mean(x_i + y_j over i,j) == mean(x) + mean(y), the
+    value equals mean(weighted diff) + beta * mean(H_s + H_t); we compute
+    that directly.
+  * FeCL's positive focal threshold ramps over 1.3..1.5 while the
+    similarity proxy `division` lies in (0, 1], so ALL positive pairs are
+    focal-reweighted by (1 - division)^gamma. Do not "fix".
+  * FeCL's row-max subtraction uses the max over axis -2 (per-column max
+    across rows), after the diagonal has been zeroed.
+  * The teacher cross-similarity is raw (un-tempered) cosine similarity.
+
+Focal thresholds are epoch-dependent Python floats computed on the host
+(`ops.ramps.threshold_rampup`) and passed in as scalar operands so the
+jitted step never recompiles across epochs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS_ENTROPY = 1e-6
+_EPS_LOG = 1e-18
+
+
+def uncl_loss(
+    s_logits: jnp.ndarray, t_logits: jnp.ndarray, beta: jnp.ndarray | float
+) -> jnp.ndarray:
+    """Uncertainty-aware consistency loss (UnCL).
+
+    s_logits, t_logits: (B, D1, D2, D3, C) channels-last logits.
+    beta: scalar entropy-weighting coefficient.
+
+    value = mean_vox[ sum_c (p_s - p_t)^2 / (e^{beta*H_s} + e^{beta*H_t}) ]
+            + beta * mean_vox[ H_s + H_t ]
+    where H = -sum_c p log(p + 1e-6) is the per-voxel Shannon entropy.
+    """
+    p_s = jax.nn.softmax(s_logits, axis=-1)
+    p_t = jax.nn.softmax(t_logits, axis=-1)
+    h_s = -jnp.sum(p_s * jnp.log(p_s + _EPS_ENTROPY), axis=-1)  # (B, D1, D2, D3)
+    h_t = -jnp.sum(p_t * jnp.log(p_t + _EPS_ENTROPY), axis=-1)
+    weight = jnp.exp(beta * h_s) + jnp.exp(beta * h_t)
+    diff = jnp.sum((p_s - p_t) ** 2, axis=-1)  # (B, D1, D2, D3)
+    return jnp.mean(diff / weight) + beta * jnp.mean(h_s + h_t)
+
+
+def fecl_loss(
+    feat: jnp.ndarray,
+    mask: jnp.ndarray,
+    teacher_feat: jnp.ndarray | None = None,
+    gambling_uncertainty: jnp.ndarray | None = None,
+    *,
+    temperature: float = 0.6,
+    gamma: float = 2.0,
+    use_focal: bool = True,
+    pos_thresh: jnp.ndarray | float = 1.5,
+    neg_thresh: jnp.ndarray | float = 0.5,
+    lambda_cross: float = 1.0,
+) -> jnp.ndarray:
+    """Focal voxel contrastive loss (FeCL) + teacher cross-negative branch.
+
+    feat:         (B, N, D) L2-normalized student embeddings.
+    mask:         (B, N) binary class id per embedding location.
+    teacher_feat: optional (B, N, D) L2-normalized teacher embeddings.
+    gambling_uncertainty: optional (B, N) per-location weight on the
+        positive term (reference defines it but always passes None).
+    pos_thresh / neg_thresh: focal hard-pair thresholds for this epoch.
+
+    Returns a scalar: student InfoNCE (optionally focal-weighted)
+    + lambda_cross * teacher hard-negative penalty.
+    """
+    B, N, _ = feat.shape
+    dtype = feat.dtype
+
+    same = (mask[:, :, None] == mask[:, None, :]).astype(dtype)  # (B, N, N)
+    diff = 1.0 - same
+    eye = jnp.eye(N, dtype=dtype)
+    off_diag = 1.0 - eye
+
+    logits = (
+        jnp.einsum("bnd,bmd->bnm", feat, feat, preferred_element_type=jnp.float32)
+        / temperature
+    )
+    logits = logits * off_diag  # zero self-similarity BEFORE the max-shift
+    col_max = jax.lax.stop_gradient(jnp.max(logits, axis=-2, keepdims=True))  # (B,1,N)
+    exp_logits = jnp.exp(logits - col_max)
+
+    neg_sum = jnp.sum(exp_logits * diff, axis=-1, keepdims=True)  # (B, N, 1)
+    division = exp_logits / (exp_logits + neg_sum + _EPS_LOG)  # (B, N, N) in (0, 1]
+
+    loss_matrix = -jnp.log(division + _EPS_LOG) * same * off_diag
+    pos_count = jnp.sum(same, axis=-1) - 1.0 + _EPS_LOG  # (B, N)
+
+    if use_focal:
+        sim = division
+        hard_pos = (same > 0) & (sim < pos_thresh)
+        hard_neg = (diff > 0) & (sim > neg_thresh)
+        focal = jnp.where(
+            hard_pos,
+            (1.0 - sim) ** gamma,
+            jnp.where(hard_neg, sim**gamma, jnp.ones_like(sim)),
+        )
+        loss_student = jnp.mean(jnp.sum(loss_matrix * focal, axis=-1) / pos_count)
+    else:
+        loss_student = jnp.mean(jnp.sum(loss_matrix, axis=-1) / pos_count)
+
+    if gambling_uncertainty is not None:
+        per_patch = jnp.sum(loss_matrix, axis=-1) / pos_count  # (B, N)
+        loss_student = jnp.mean(per_patch * gambling_uncertainty)
+
+    if teacher_feat is None:
+        return loss_student
+
+    # Teacher cross-negative branch: penalize unlabeled-vs-teacher pairs of
+    # DIFFERENT class whose raw cosine similarity exceeds the ramped
+    # threshold: -log(1 - sim). When no pair qualifies the term is 0.
+    cross_sim = jnp.einsum(
+        "bnd,bmd->bnm", feat, teacher_feat, preferred_element_type=jnp.float32
+    )
+    cross_hard = ((diff > 0) & (cross_sim > neg_thresh)).astype(dtype)
+    cross_term = -jnp.log(1.0 - cross_sim + _EPS_LOG) * cross_hard
+    loss_cross = jnp.sum(cross_term) / (jnp.sum(cross_hard) + _EPS_LOG)
+
+    return loss_student + lambda_cross * loss_cross
+
+
+def gambling_softmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the class axis with an epsilon-guarded denominator."""
+    e = jnp.exp(logits)
+    return e / (jnp.sum(e, axis=-1, keepdims=True) + _EPS_LOG)

@@ -1,0 +1,101 @@
+"""Spatial resampling / pooling primitives for NDHWC volumes.
+
+Trilinear interpolation is implemented as three separable 1-D linear
+interpolations (gather of lower/upper neighbors + lerp per axis). XLA
+fuses the gathers and lerps into a handful of elementwise/HBM-friendly
+ops; this is both faster than a general `jax.image.resize` gather and —
+more importantly — lets us control the exact coordinate convention:
+
+  * align_corners=False (half-pixel centers, the torch nn.Upsample
+    default used by the U-Net decoder):  src = (dst + 0.5) * in/out - 0.5
+  * align_corners=True (used by the projection-head upsample, reference
+    UNet3D_contrastive.py:309):          src = dst * (in-1) / (out-1)
+
+Both clamp out-of-range source coordinates to the valid index range.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_lerp(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    """Linearly resample one axis of `x` to `out_size`."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = dst * scale
+    else:
+        scale = in_size / out_size
+        src = jnp.clip((dst + 0.5) * scale - 0.5, 0.0, None)
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w = (src - lo.astype(jnp.float32)).astype(x.dtype)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape)
+    x_lo = jnp.take(x, lo, axis=axis)
+    x_hi = jnp.take(x, hi, axis=axis)
+    return x_lo + (x_hi - x_lo) * w
+
+
+def trilinear_resize(
+    x: jnp.ndarray, out_spatial: tuple[int, int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """Resize an NDHWC volume (B, D1, D2, D3, C) to `out_spatial`."""
+    for i, size in enumerate(out_spatial):
+        x = _axis_lerp(x, axis=1 + i, out_size=size, align_corners=align_corners)
+    return x
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear 2x upsample, half-pixel centers (decoder path)."""
+    out = tuple(2 * s for s in x.shape[1:4])
+    return trilinear_resize(x, out, align_corners=False)
+
+
+def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2x2 stride-2 max pool over the spatial axes of an NDHWC volume.
+
+    Non-overlapping windows: a reshape + max is fully fusible by XLA and
+    avoids the generality cost of reduce_window.
+    """
+    b, d1, d2, d3, c = x.shape
+    x = x.reshape(b, d1 // 2, 2, d2 // 2, 2, d3 // 2, 2, c)
+    return x.max(axis=(2, 4, 6))
+
+
+def avg_pool_nonoverlap(x: jnp.ndarray, kernel: tuple[int, int, int]) -> jnp.ndarray:
+    """Non-overlapping average pool (kernel == stride) over a (B, D1, D2, D3)
+    volume — the contrastive-mask downsampler. Exact mean via reshape.
+
+    Trailing remainders are dropped, matching torch avg_pool3d semantics
+    (count_include_pad default with floor output size).
+    """
+    b, d1, d2, d3 = x.shape
+    k1, k2, k3 = kernel
+    o1, o2, o3 = d1 // k1, d2 // k2, d3 // k3
+    x = x[:, : o1 * k1, : o2 * k2, : o3 * k3]
+    x = x.reshape(b, o1, k1, o2, k2, o3, k3)
+    return x.mean(axis=(2, 4, 6))
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive (1,1,1) average pool over NDHWC spatial axes, keepdims."""
+    return jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+
+
+def pad_to_shape(x: jnp.ndarray, spatial: tuple[int, int, int]) -> jnp.ndarray:
+    """Zero-pad the spatial axes of (B, D1, D2, D3, C) up to `spatial`,
+    split evenly (extra voxel on the trailing side)."""
+    pads = [(0, 0)]
+    for i, target in enumerate(spatial):
+        cur = x.shape[1 + i]
+        extra = max(target - cur, 0)
+        pads.append((extra // 2, extra - extra // 2))
+    pads.append((0, 0))
+    return jnp.pad(x, pads)

@@ -1,0 +1,77 @@
+"""Headline benchmark: sliding-window inference throughput (volumes/sec)
+on the BraTS-2019 eval protocol — the metric BASELINE.md targets at >=5x
+an A100 running the reference implementation.
+
+Protocol (reference test_BraTS19.py:68-71): volume (192, 192, 64),
+patch (96, 96, 96), stride_xy 16, stride_z 4 -> 49 patches per volume.
+The reference runs one patch per forward with an H2D+D2H round trip per
+patch; this framework runs the whole volume as one on-device program
+with batched patch forwards (bf16 matmuls, f32 accumulation).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so
+`vs_baseline` is measured against an estimated 2.0 vols/sec for the
+reference's per-patch loop on A100 (49 sequential 96^3 U-Net forwards
+plus per-patch transfers at ~10 ms each). Replace with a measured value
+when a reference run exists.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+A100_REFERENCE_VOLS_PER_SEC = 2.0  # estimated; see module docstring
+
+
+def main() -> None:
+    import jax
+
+    from dycon_paper_replication_tpu.eval import SlidingWindowInference
+    from dycon_paper_replication_tpu.models import net_factory_3d
+
+    compute_dtype = None
+    try:
+        import jax.numpy as jnp
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+        compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    except Exception:
+        on_tpu = False
+
+    model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2,
+                           compute_dtype=compute_dtype)
+    params, state = model.init(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    volume = rng.standard_normal((192, 192, 64)).astype(np.float32)
+
+    sw = SlidingWindowInference(
+        model, (96, 96, 96), stride_xy=16, stride_z=4,
+        patch_batch=8 if on_tpu else 2,
+    )
+
+    # warmup (compile)
+    sw(params, state, volume)
+
+    n_iters = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        label_map, _ = sw(params, state, volume)
+    dt = time.perf_counter() - t0
+    vols_per_sec = n_iters / dt
+
+    print(json.dumps({
+        "metric": "brats19_sliding_window_inference",
+        "value": round(vols_per_sec, 4),
+        "unit": "vols/sec",
+        "vs_baseline": round(vols_per_sec / A100_REFERENCE_VOLS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,16 @@ class TrainConfig:
     data_parallel: int = 0  # 0 = all visible devices
 
     def snapshot_path(self) -> str:
+        """Hyperparameter-encoded run directory. Mirrors the reference's
+        two conventions: the BraTS/Pancreas style (train_DyCON_Pancreas
+        .py:71-75) and the distinct ISLES style (train_DyCON_ISLES22
+        .py:93-94), so checkpoints are addressable by config alone."""
+        if self.dataset == "isles22":
+            return (
+                f"{self.snapshot_root}/{self.exp}/DyCON_{self.model}_"
+                f"{self.consistency_type}_temp{self.temp}_labelnum{self.labelnum}"
+                f"_max_iterations{self.max_iterations}"
+            )
         beta_str = f"_beta{self.s_beta}" if self.s_beta is not None else f"_beta{self.beta_min}-{self.beta_max}"
         focal_str = "Focal" if self.use_focal else "NoFocal"
         gamma_str = f"_gamma{self.gamma}" if self.use_focal else ""

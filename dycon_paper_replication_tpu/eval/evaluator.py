@@ -162,22 +162,23 @@ def test_all_case_wholevolume(
     results_path: str | None = None,
 ) -> dict:
     """ISLES offline test: per-case dice/hd95/asd/sensitivity/specificity
-    with the reference's empty-mask edge handling (test_ISLES22.py:98-121):
-    both empty -> perfect; gt empty, pred not -> zeros with hd95=inf."""
+    with the reference's edge-case rules (test_ISLES22.py:98-163):
+    both masks empty -> perfect scores; exactly one empty -> dice 0 and
+    hd95/asd = the volume-diagonal max distance, sens/spec per the
+    empty side. Returns per-metric mean and std plus per-case rows."""
     rows = []
     for image, label in volumes:
         pred = wv.predict(params, state, image)
         p, t = pred == 1, label == 1
-        if t.sum() == 0 and p.sum() == 0:
+        if p.sum() == 0 and t.sum() == 0:
             case = dict(dice=1.0, hd95=0.0, asd=0.0, sensitivity=1.0, specificity=1.0)
-        elif t.sum() == 0 or p.sum() == 0:
-            case = dict(
-                dice=0.0,
-                hd95=float("inf"),
-                asd=float("inf"),
-                sensitivity=0.0 if t.sum() else 0.0,
-                specificity=metrics.specificity(p, t),
-            )
+        elif p.sum() == 0 or t.sum() == 0:
+            max_dist = float(np.linalg.norm(label.shape))
+            if t.sum() == 0:
+                sens, spec = 0.0, (1.0 if p.sum() == 0 else 0.0)
+            else:
+                sens, spec = 0.0, 1.0
+            case = dict(dice=0.0, hd95=max_dist, asd=max_dist, sensitivity=sens, specificity=spec)
         else:
             case = dict(
                 dice=metrics.dice(p, t),
@@ -187,16 +188,16 @@ def test_all_case_wholevolume(
                 specificity=metrics.specificity(p, t),
             )
         rows.append(case)
-    finite = lambda k: [r[k] for r in rows if np.isfinite(r[k])]
-    summary = {k: float(np.mean(finite(k))) if finite(k) else float("inf")
-               for k in ("dice", "hd95", "asd", "sensitivity", "specificity")}
+    keys = ("dice", "hd95", "asd", "sensitivity", "specificity")
+    summary = {k: float(np.mean([r[k] for r in rows])) for k in keys}
+    summary.update({f"{k}_std": float(np.std([r[k] for r in rows])) for k in keys})
     summary["cases"] = rows
     if results_path is not None:
         with open(results_path, "w") as f:
+            f.write("ISLES22 Test Results\n" + "=" * 60 + "\n")
+            for k in keys:
+                f.write(f"{k.upper():12s} | Mean: {summary[k]:.4f} | Std: {summary[f'{k}_std']:.4f}\n")
+            f.write("\nPer-sample results:\n" + "-" * 60 + "\n")
             for i, r in enumerate(rows):
-                f.write(
-                    f"case {i}: dice={r['dice']:.4f} hd95={r['hd95']:.4f} "
-                    f"asd={r['asd']:.4f} sens={r['sensitivity']:.4f} spec={r['specificity']:.4f}\n"
-                )
-            f.write(f"summary: {summary}\n")
+                f.write(f"Sample {i:3d} | " + " | ".join(f"{k}: {r[k]:.4f}" for k in keys) + "\n")
     return summary

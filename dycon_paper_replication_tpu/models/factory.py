@@ -26,7 +26,8 @@ class Model:
         self._apply = apply_fn
 
     def init(self, key: jax.Array):
-        return self._init(key, self.cfg)
+        # jit: one compiled program instead of per-parameter eager dispatches
+        return jax.jit(self._init, static_argnums=1)(key, self.cfg)
 
     def apply(self, params, state, x, *, train: bool = False, rng=None, **kwargs):
         return self._apply(params, state, x, self.cfg, train=train, rng=rng, **kwargs)

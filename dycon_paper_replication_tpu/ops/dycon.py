@@ -105,7 +105,16 @@ def fecl_loss(
     division = exp_logits / (exp_logits + neg_sum + _EPS_LOG)  # (B, N, N) in (0, 1]
 
     loss_matrix = -jnp.log(division + _EPS_LOG) * same * off_diag
-    pos_count = jnp.sum(same, axis=-1) - 1.0 + _EPS_LOG  # (B, N)
+    # rows with no positive pair contribute 0 (the reference divides a
+    # zero row-sum by 1e-18; XLA constant-folds `- 1.0 + 1e-18` into
+    # `- 1.0` under jit, turning that into 0/0 NaN, so guard explicitly)
+    pos_count = jnp.sum(same, axis=-1) - 1.0  # (B, N)
+    has_pos = pos_count > 0
+
+    def _row_mean(row_sums):
+        return jnp.mean(
+            jnp.where(has_pos, row_sums / jnp.maximum(pos_count, 1.0), 0.0)
+        )
 
     if use_focal:
         sim = division
@@ -116,12 +125,14 @@ def fecl_loss(
             (1.0 - sim) ** gamma,
             jnp.where(hard_neg, sim**gamma, jnp.ones_like(sim)),
         )
-        loss_student = jnp.mean(jnp.sum(loss_matrix * focal, axis=-1) / pos_count)
+        loss_student = _row_mean(jnp.sum(loss_matrix * focal, axis=-1))
     else:
-        loss_student = jnp.mean(jnp.sum(loss_matrix, axis=-1) / pos_count)
+        loss_student = _row_mean(jnp.sum(loss_matrix, axis=-1))
 
     if gambling_uncertainty is not None:
-        per_patch = jnp.sum(loss_matrix, axis=-1) / pos_count  # (B, N)
+        per_patch = jnp.where(
+            has_pos, jnp.sum(loss_matrix, axis=-1) / jnp.maximum(pos_count, 1.0), 0.0
+        )  # (B, N)
         loss_student = jnp.mean(per_patch * gambling_uncertainty)
 
     if teacher_feat is None:
@@ -134,7 +145,11 @@ def fecl_loss(
         "bnd,bmd->bnm", feat, teacher_feat, preferred_element_type=jnp.float32
     )
     cross_hard = ((diff > 0) & (cross_sim > neg_thresh)).astype(dtype)
-    cross_term = -jnp.log(1.0 - cross_sim + _EPS_LOG) * cross_hard
+    # f32 cosine similarity of near-identical embeddings can round above
+    # 1, where the reference's -log(1-sim) yields NaN and its host guard
+    # drops the whole step; clamp at 0 so the term spikes (to -log(eps))
+    # instead of destroying the update
+    cross_term = -jnp.log(jnp.maximum(1.0 - cross_sim, 0.0) + _EPS_LOG) * cross_hard
     loss_cross = jnp.sum(cross_term) / (jnp.sum(cross_hard) + _EPS_LOG)
 
     return loss_student + lambda_cross * loss_cross

@@ -1,0 +1,61 @@
+"""Device mesh + sharding rules for DyCON training.
+
+The reference's only multi-device mechanism is single-process
+DataParallel (train_DyCON_BraTS19.py:180-193). The TPU-native
+replacement is SPMD data parallelism over a 1-D `jax.sharding.Mesh`:
+
+  * the batch axis is sharded over the `data` mesh axis;
+  * params / optimizer / teacher state are replicated;
+  * XLA inserts the cross-chip `psum` for the gradient mean
+    automatically (every DyCON loss term reduces within-sample, so pure
+    DP is mathematically exact — SURVEY.md §5);
+  * the EMA update is purely local on replicated params — no
+    communication at all;
+  * multi-host runs use the same program over DCN after
+    `jax.distributed.initialize()`.
+
+Batch-norm caveat: the projection head's BatchNorm computes per-shard
+statistics under DP (like the reference under DataParallel, which also
+used per-GPU stats). Padding rule: global batch must be divisible by
+the mesh size — `make_mesh` clamps to the largest divisor, mirroring
+the reference's batch-divisibility adjustment (train_DyCON_BraTS19.py
+:93-110).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int = 0, batch_size: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over the first `n_devices` devices (0 = all).
+    If `batch_size` is given, clamp the mesh to the largest device count
+    that divides it."""
+    devices = jax.devices()
+    n = n_devices if n_devices > 0 else len(devices)
+    n = min(n, len(devices))
+    if batch_size is not None:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+    return Mesh(np.array(devices[:n]), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Host numpy batch -> device arrays sharded along the batch axis."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_tree(mesh: Mesh, tree):
+    rep = replicate(mesh)
+    return jax.device_put(tree, rep)

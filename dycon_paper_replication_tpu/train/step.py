@@ -137,6 +137,8 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
             "consistency_loss": cons,
             "new_model_state": new_model_state,
             "s_probs": s_probs,
+            "embedding": stud_emb,
+            "mask_con": mask,
         }
         return total, aux
 
@@ -205,6 +207,9 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
             "train_dice": jnp.mean(dice_b),
             "skipped": bad.astype(jnp.float32),
             "pred_fg": pred_fg,
+            # device-resident diagnostics; transferred only when consumed
+            "embedding": jax.lax.stop_gradient(aux["embedding"]),
+            "mask_con": aux["mask_con"],
         }
         return new_state, metrics
 

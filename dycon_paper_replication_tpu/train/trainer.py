@@ -1,0 +1,294 @@
+"""Unified DyCON trainer.
+
+The reference ships three ~85%-identical training scripts
+(train_DyCON_{Pancreas,BraTS19,ISLES22}.py); here one `Trainer` drives
+all three datasets from a `TrainConfig`, with the ISLES deltas (teacher
+eval-mode, poly LR, n-class dice, derived mask kernel, whole-volume
+validation) expressed as config switches (SURVEY.md §7 step 6).
+
+Division of labor:
+  * device (one jitted program per step, `train/step.py`): forwards,
+    losses, grads, clip, SGD, EMA, NaN guard, train Dice;
+  * host (this file): schedules (per-epoch beta / FeCL thresholds,
+    per-iter consistency weight), data prefetch, logging, periodic
+    validation + checkpointing.
+The reference's per-iteration host work (medpy HD95 per batch,
+train_DyCON_Pancreas.py:287-292 — a D2H sync + CPU EDT every step) runs
+every `hd95_every` iterations instead; train Dice stays per-step but on
+device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data import (
+    BatchLoader,
+    BraTS2019,
+    Compose,
+    ISLESDataset,
+    Pancreas,
+    RandomRotFlip,
+    ToArray,
+    TwoStreamBatchSampler,
+)
+from ..eval import (
+    SlidingWindowInference,
+    WholeVolumeInference,
+    iter_h5_volumes,
+    var_all_case,
+    var_all_case_wholevolume,
+)
+from ..models import net_factory_3d
+from ..ops import metrics, ramps
+from ..parallel import make_mesh, batch_sharding, replicate
+from ..utils import ExperimentLogger, checkpoint
+from ..utils.monitor import monitor_similarity_distributions
+from ..utils.profiling import StepTimer
+from .state import create_train_state, make_optimizer
+from .step import StepScalars, build_train_step
+
+# ISLES-2022 labelnum (patients) -> number of labeled training volumes
+# (train_DyCON_ISLES22.py:124-135)
+ISLES_PATIENTS_TO_SLICES = {
+    1: 36, 2: 38, 3: 27, 4: 53, 5: 60, 6: 25, 7: 25, 8: 38, 9: 38, 10: 45,
+    11: 27, 12: 29, 13: 32, 14: 29, 15: 44, 16: 38, 17: 29, 18: 23, 19: 48,
+    20: 42, 21: 31, 22: 48, 23: 42, 24: 23, 25: 29,
+}
+
+
+def _compute_dtype(cfg: TrainConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.snapshot_path = cfg.snapshot_path()
+        os.makedirs(self.snapshot_path, exist_ok=True)
+        self.log = ExperimentLogger(self.snapshot_path)
+        self.log.info(str(dataclasses.asdict(cfg)))
+        with open(os.path.join(self.snapshot_path, "config.json"), "w") as f:
+            json.dump({k: str(v) for k, v in dataclasses.asdict(cfg).items()}, f, indent=2)
+
+        self.mesh = make_mesh(cfg.data_parallel, cfg.batch_size)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicate(self.mesh)
+
+        self.model = net_factory_3d(
+            cfg.model, in_chns=cfg.in_ch, class_num=cfg.num_classes,
+            scaler=cfg.feature_scaler, use_aspp=cfg.use_aspp,
+            compute_dtype=_compute_dtype(cfg),
+        )
+
+        if cfg.lr_schedule == "poly":
+            schedule = lambda step: cfg.base_lr * (1.0 - step / cfg.max_iterations) ** 0.9
+        else:
+            schedule = lambda step: cfg.base_lr
+        self.optimizer = make_optimizer(
+            schedule, cfg.momentum, cfg.weight_decay, cfg.grad_clip_norm
+        )
+
+        self.state = create_train_state(self.model, jax.random.key(cfg.seed), self.optimizer)
+        self.state = jax.device_put(self.state, self._replicated)
+
+        step_fn = build_train_step(self.model, self.optimizer, cfg)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        self._build_data()
+        self._build_eval()
+        self.timer = StepTimer()
+        self.best_performance = 0.0
+        self.hd95_every = max(cfg.val_every // 4, 1)
+
+    # ---------------- data ----------------
+
+    def _build_data(self) -> None:
+        cfg = self.cfg
+        transform = Compose([RandomRotFlip(), ToArray()])
+        if cfg.dataset == "pancreas":
+            ds = Pancreas(cfg.root_dir, split="train", transform=transform,
+                          crop_size=cfg.patch_size)
+            labeled = cfg.labelnum
+        elif cfg.dataset == "brats19":
+            ds = BraTS2019(cfg.root_dir, split="train", transform=transform,
+                           crop_size=cfg.patch_size)
+            labeled = cfg.labelnum
+        elif cfg.dataset == "isles22":
+            ds = ISLESDataset(cfg.root_dir, split="train", transform=transform,
+                              crop_size=cfg.patch_size)
+            labeled = ISLES_PATIENTS_TO_SLICES.get(cfg.labelnum, cfg.labelnum)
+        else:
+            raise ValueError(cfg.dataset)
+        if labeled >= len(ds):
+            raise ValueError(f"labelnum {labeled} >= dataset size {len(ds)}")
+        self.dataset = ds
+        self.n_labeled = labeled
+        sampler = TwoStreamBatchSampler(
+            range(labeled), range(labeled, len(ds)),
+            cfg.batch_size, cfg.batch_size - cfg.labeled_bs, seed=cfg.seed,
+        )
+        self.loader = BatchLoader(
+            ds, sampler, seed=cfg.seed, prefetch=cfg.num_prefetch,
+            device_put=lambda b: {k: jax.device_put(v, self._batch_sharding) for k, v in b.items()},
+        )
+        self.iters_per_epoch = len(sampler)
+        self.max_epoch = cfg.max_iterations // self.iters_per_epoch + 1
+        self.log.info("%d Iterations per epoch", self.iters_per_epoch)
+
+    def _build_eval(self) -> None:
+        cfg = self.cfg
+        if cfg.dataset == "isles22":
+            self.whole_volume = WholeVolumeInference(self.model, cfg.patch_size)
+            self.sw = None
+        else:
+            self.whole_volume = None
+            self.sw = SlidingWindowInference(
+                self.model, cfg.patch_size, cfg.val_stride_xy, cfg.val_stride_z
+            )
+
+    def _val_volumes(self) -> Iterable:
+        cfg = self.cfg
+        if cfg.dataset == "pancreas":
+            ds = Pancreas(cfg.root_dir, split="test")
+            # reference validates on test1.list; fall back to test.list
+            p = os.path.join(cfg.root_dir, "test1.list")
+            if os.path.exists(p):
+                with open(p) as f:
+                    names = [l.strip() for l in f if l.strip()]
+                paths = [os.path.join(cfg.root_dir, "Pancreas_data", n) for n in names]
+            else:
+                paths = ds.paths
+            return iter_h5_volumes(paths)
+        if cfg.dataset == "brats19":
+            with open(os.path.join(cfg.root_dir, "val.txt")) as f:
+                names = [l.strip() for l in f if l.strip()]
+            paths = [os.path.join(cfg.root_dir, "data", f"{n}.h5") for n in names]
+            return iter_h5_volumes(paths, axial_transpose=True)
+        ds = ISLESDataset(cfg.root_dir, split="val")
+        return iter_h5_volumes(ds.paths, label_key="mask")
+
+    # ---------------- schedules ----------------
+
+    def _epoch_scalars(self, epoch: int) -> tuple[float, float, float]:
+        cfg = self.cfg
+        if cfg.s_beta is not None:
+            beta = cfg.s_beta
+        else:
+            beta = ramps.adaptive_beta(epoch, self.max_epoch, cfg.beta_max, cfg.beta_min)
+        pos_th = ramps.threshold_rampup(epoch, cfg.fecl_rampup_epochs, 1.3, 1.5)
+        neg_th = ramps.threshold_rampup(epoch, cfg.fecl_rampup_epochs, 0.3, 0.5)
+        return beta, pos_th, neg_th
+
+    def _consistency_weight(self, iter_num: int) -> float:
+        cfg = self.cfg
+        return cfg.consistency * ramps.sigmoid_rampup(iter_num // 150, cfg.consistency_rampup)
+
+    # ---------------- validation ----------------
+
+    def validate(self) -> float:
+        params, mstate = self.state.params, self.state.model_state
+        if self.whole_volume is not None:
+            return var_all_case_wholevolume(self.whole_volume, params, mstate, self._val_volumes())
+        return var_all_case(self.sw, params, mstate, self._val_volumes())
+
+    # ---------------- main loop ----------------
+
+    def run(self) -> float:
+        cfg = self.cfg
+        iter_num = 0
+        key = jax.random.key(cfg.seed + 1)
+        for epoch in range(self.max_epoch):
+            beta, pos_th, neg_th = self._epoch_scalars(epoch)
+            for batch in self.loader.epoch():
+                scalars = StepScalars.make(
+                    beta, self._consistency_weight(iter_num), pos_th, neg_th
+                )
+                key, step_key = jax.random.split(key)
+                self.timer.start()
+                self.state, m = self.train_step(self.state, batch, step_key, scalars)
+                self.timer.stop(m["loss"])
+                iter_num += 1
+
+                if iter_num % 200 == 0:
+                    monitor_similarity_distributions(
+                        m["embedding"], m["mask_con"], iter_num,
+                        os.path.join(self.snapshot_path, f"{cfg.exp}_similarity"),
+                    )
+
+                if iter_num % self.hd95_every == 0 or iter_num == 1:
+                    pred_fg = np.asarray(m["pred_fg"])
+                    label_np = np.asarray(batch["label"])
+                    max_dist = float(np.linalg.norm(cfg.patch_size))
+                    hd = float(np.mean(metrics.compute_hd95_batch(pred_fg, label_np, max_dist)))
+                    self.log.scalar("train/HD95", hd, iter_num)
+
+                self.log.scalars(
+                    {
+                        "info/loss": m["loss"],
+                        "info/f_loss": m["f_loss"],
+                        "info/u_loss": m["u_loss"],
+                        "info/loss_ce": m["loss_ce"],
+                        "info/loss_dice": m["loss_dice"],
+                        "info/consistency_loss": m["consistency_loss"],
+                        "info/consistency_weight": float(scalars.consistency_weight),
+                        "train/Dice": m["train_dice"],
+                    },
+                    iter_num,
+                )
+                self.log.info(
+                    "Iteration %d : Loss : %f, Loss_CE: %f, Loss_Dice: %f, "
+                    "UnCLoss: %f, FeCLoss: %f, mean_dice: %f",
+                    iter_num, float(m["loss"]), float(m["loss_ce"]), float(m["loss_dice"]),
+                    float(m["u_loss"]), float(m["f_loss"]), float(m["train_dice"]),
+                )
+                if float(m["skipped"]):
+                    self.log.info("NaN or Inf found in loss at iteration %d — skipped", iter_num)
+
+                if iter_num > 0 and iter_num % cfg.val_every == 0:
+                    avg = self.validate()
+                    if avg > self.best_performance:
+                        self.best_performance = round(float(avg), 4)
+                        checkpoint.save_checkpoint(
+                            checkpoint.iter_checkpoint_path(
+                                self.snapshot_path, iter_num, self.best_performance
+                            ),
+                            self.state,
+                        )
+                        checkpoint.save_checkpoint(
+                            checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model),
+                            self.state,
+                        )
+                    self.log.scalars(
+                        {"info/Dice": float(avg), "info/Best_dice": self.best_performance},
+                        iter_num,
+                    )
+                    self.log.info(
+                        "Iteration %d : Dice: %f Best_dice: %f",
+                        iter_num, float(avg), self.best_performance,
+                    )
+                    for tag, v in self.timer.stats().items():
+                        self.log.scalar(f"perf/{tag}", v, iter_num)
+
+                if iter_num % cfg.save_every == 0:
+                    checkpoint.save_checkpoint(
+                        checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
+                        self.state,
+                    )
+                if iter_num >= cfg.max_iterations:
+                    break
+            if iter_num >= cfg.max_iterations:
+                break
+        checkpoint.wait_until_finished()
+        self.log.info("Training Finished!")
+        self.log.close()
+        return self.best_performance

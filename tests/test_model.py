@@ -1,6 +1,9 @@
 """Model structure tests: output shapes and parameter count goldens from
-the reference printout (UNet3D_contrastive.py:337-343: 6.15M params,
-out (4,2,128,128,80)-analog shapes, features upsampled by scale_factor)."""
+the reference printout (UNet3D_contrastive.py:337-343: 6.15M params).
+All forwards are jitted (one XLA compile each instead of per-op eager
+compiles) and share one module-scoped model+params fixture."""
+
+from functools import partial
 
 import numpy as np
 import jax
@@ -11,55 +14,78 @@ from dycon_paper_replication_tpu.models import net_factory_3d
 from dycon_paper_replication_tpu.models.unet3d import param_count
 
 
+@pytest.fixture(scope="module")
+def model_bundle():
+    model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2)
+    params, state = model.init(jax.random.key(0))
+
+    @partial(jax.jit, static_argnames=("train",))
+    def fwd(params, state, x, rng=None, train=False):
+        return model.apply(params, state, x, train=train, rng=rng)
+
+    return model, params, state, fwd
+
+
 class TestUNet3D:
-    def test_shapes_and_param_count(self):
-        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2)
-        params, state = model.init(jax.random.key(0))
+    def test_shapes_and_param_count(self, model_bundle):
+        model, params, state, fwd = model_bundle
         x = jnp.zeros((2, 32, 32, 16, 1))
-        (sdf, seg, feat), new_state = model.apply(params, state, x)
+        (sdf, seg, feat), new_state = fwd(params, state, x)
         assert sdf.shape == (2, 32, 32, 16, 2)
         assert seg.shape == (2, 32, 32, 16, 2)
-        # bottleneck 32/16=2,32/16=2,16/16=1 -> x2 -> (4,4,2), 256ch
+        # bottleneck (2,2,1) -> x2 -> (4,4,2), 256ch projection output
         assert feat.shape == (2, 4, 4, 2, 256)
-        # reference golden: 6.15M params (printout rounds 6,146,%d to 6.15)
+        # reference golden: 6.15M params
         n = param_count(params)
         assert abs(n / 1e6 - 6.15) < 0.005, n
 
-    def test_scale_factor_4(self):
-        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=4)
-        params, state = model.init(jax.random.key(0))
-        x = jnp.zeros((1, 32, 32, 32, 1))
-        (_, _, feat), _ = model.apply(params, state, x)
-        assert feat.shape == (1, 8, 8, 8, 256)
-
-    def test_tanh_head_bounded_and_train_path(self):
-        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2)
-        params, state = model.init(jax.random.key(1))
-        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 16, 1)), jnp.float32)
-        (sdf, _, _), new_state = model.apply(params, state, x, train=True, rng=jax.random.key(2))
+    def test_train_path_updates_bn_and_bounds_tanh(self, model_bundle, rng):
+        model, params, state, fwd = model_bundle
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 16, 1)), jnp.float32)
+        (sdf, _, _), new_state = fwd(params, state, x, rng=jax.random.key(2), train=True)
         assert float(jnp.max(jnp.abs(sdf))) <= 1.0
-        # train-mode BN must update running stats
-        old = state["projection"]["bn1"]["mean"]
-        new = new_state["projection"]["bn1"]["mean"]
-        assert not np.allclose(np.asarray(old), np.asarray(new))
+        old = np.asarray(state["projection"]["bn1"]["mean"])
+        new = np.asarray(new_state["projection"]["bn1"]["mean"])
+        assert not np.allclose(old, new)
 
-    def test_eval_deterministic(self):
-        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2)
-        params, state = model.init(jax.random.key(1))
-        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)), jnp.float32)
-        (_, seg1, _), s1 = model.apply(params, state, x)
-        (_, seg2, _), s2 = model.apply(params, state, x)
+    def test_eval_deterministic_and_state_frozen(self, model_bundle, rng):
+        model, params, state, fwd = model_bundle
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 16, 1)), jnp.float32)
+        (_, seg1, _), s1 = fwd(params, state, x)
+        (_, seg2, _), _ = fwd(params, state, x)
         np.testing.assert_array_equal(np.asarray(seg1), np.asarray(seg2))
-        # eval mode must not touch BN state
         np.testing.assert_array_equal(
             np.asarray(s1["projection"]["bn1"]["mean"]),
             np.asarray(state["projection"]["bn1"]["mean"]),
         )
 
+    def test_seg_only_inference_path(self, model_bundle, rng):
+        """with_projection=False must produce identical seg logits."""
+        model, params, state, _ = model_bundle
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 16, 1)), jnp.float32)
+
+        @jax.jit
+        def fwd_seg(params, state, x):
+            return model.apply(params, state, x, with_projection=False)
+
+        (_, seg_full, _), _ = jax.jit(lambda p, s, v: model.apply(p, s, v))(params, state, x)
+        (_, seg_only, feat), _ = fwd_seg(params, state, x)
+        assert feat is None
+        np.testing.assert_allclose(np.asarray(seg_only), np.asarray(seg_full), atol=1e-6)
+
+
+class TestVariants:
+    def test_scale_factor_4(self):
+        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=4)
+        params, state = model.init(jax.random.key(0))
+        x = jnp.zeros((1, 32, 32, 32, 1))
+        (_, _, feat), _ = jax.jit(lambda p, s, v: model.apply(p, s, v))(params, state, x)
+        assert feat.shape == (1, 8, 8, 8, 256)
+
     def test_aspp_variant(self):
         model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2, use_aspp=True)
         params, state = model.init(jax.random.key(0))
         x = jnp.zeros((2, 32, 32, 16, 1))
-        (_, seg, feat), _ = model.apply(params, state, x)
+        (_, seg, feat), _ = jax.jit(lambda p, s, v: model.apply(p, s, v))(params, state, x)
         assert seg.shape == (2, 32, 32, 16, 2)
         assert feat.shape == (2, 4, 4, 2, 256)

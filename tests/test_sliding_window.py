@@ -1,0 +1,78 @@
+"""Sliding-window engine tests: origin grid semantics, stitching
+equivalence against a straightforward per-patch numpy loop, padding
+round-trip, and bucketing invariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dycon_paper_replication_tpu.eval.sliding_window import (
+    SlidingWindowInference,
+    compute_origins,
+)
+from dycon_paper_replication_tpu.models import net_factory_3d
+
+
+class TestOrigins:
+    def test_grid_matches_reference_rule(self):
+        # ww=48, patch=32, stride=8 -> xs = min(8x, 16) for x in 0..ceil(16/8)+1
+        o = compute_origins((48, 48, 40), (32, 32, 32), 8, 4)
+        xs = sorted({int(a) for a in o[:, 0]})
+        assert xs == [0, 8, 16]
+        zs = sorted({int(a) for a in o[:, 2]})
+        assert zs == [0, 4, 8]
+
+    def test_small_volume_single_origin(self):
+        o = compute_origins((32, 32, 32), (32, 32, 32), 8, 4)
+        assert o.shape == (1, 3)
+        assert (o == 0).all()
+
+
+@pytest.fixture(scope="module")
+def sw_bundle():
+    model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2)
+    params, state = model.init(jax.random.key(0))
+    return model, params, state
+
+
+class TestStitching:
+    def test_matches_naive_patch_loop(self, sw_bundle, rng):
+        model, params, state = sw_bundle
+        patch = (16, 16, 16)
+        image = rng.normal(size=(24, 20, 16)).astype(np.float32)
+        sw = SlidingWindowInference(model, patch, stride_xy=8, stride_z=8, patch_batch=2)
+        label_map, score = sw(params, state, image)
+
+        # naive reference loop (same origin rule, one patch per forward)
+        origins = compute_origins(image.shape, patch, 8, 8)
+        acc = np.zeros(image.shape, np.float32)
+        cnt = np.zeros(image.shape, np.float32)
+        fwd = jax.jit(lambda x: model.apply(params, state, x, with_projection=False)[0][1])
+        for o in origins:
+            sl = tuple(slice(s, s + p) for s, p in zip(o, patch))
+            logits = fwd(jnp.asarray(image[sl][None, ..., None]))
+            prob = np.asarray(jax.nn.softmax(logits, axis=-1))[0, ..., 1]
+            acc[sl] += prob
+            cnt[sl] += 1
+        want = acc / cnt
+        np.testing.assert_allclose(score, want, atol=2e-5)
+        np.testing.assert_array_equal(label_map, (want > 0.5).astype(int))
+
+    def test_pad_small_volume_roundtrip(self, sw_bundle, rng):
+        model, params, state = sw_bundle
+        image = rng.normal(size=(10, 12, 8)).astype(np.float32)
+        sw = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2)
+        label_map, score = sw(params, state, image)
+        assert label_map.shape == image.shape
+        assert score.shape == image.shape
+
+    def test_bucketing_invariance(self, sw_bundle, rng):
+        """Different shape buckets must not change the result."""
+        model, params, state = sw_bundle
+        image = rng.normal(size=(20, 20, 16)).astype(np.float32)
+        sw32 = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2, shape_bucket=32)
+        sw4 = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=4, shape_bucket=4)
+        _, s1 = sw32(params, state, image)
+        _, s2 = sw4(params, state, image)
+        np.testing.assert_allclose(s1, s2, atol=2e-5)

@@ -1,0 +1,157 @@
+"""Train-step and end-to-end trainer tests on synthetic fixtures.
+
+Covers: optimizer equivalence with torch SGD semantics, EMA warmup,
+NaN-guard skip, loss decrease on a supervised-only toy problem, and a
+full 3-iteration Trainer run (data -> step -> val -> checkpoint)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dycon_paper_replication_tpu.config import make_config
+from dycon_paper_replication_tpu.models import net_factory_3d
+from dycon_paper_replication_tpu.train.state import (
+    create_train_state,
+    ema_update,
+    make_optimizer,
+)
+from dycon_paper_replication_tpu.train.step import StepScalars, build_train_step
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        patch_size=(16, 16, 16), batch_size=4, labeled_bs=2, labelnum=2,
+        max_iterations=3, val_every=2, save_every=100, feature_scaler=2,
+        val_stride_xy=64, val_stride_z=64,
+    )
+    base.update(kw)
+    return make_config("pancreas", **base)
+
+
+@pytest.fixture(scope="module")
+def step_bundle():
+    cfg = _tiny_cfg()
+    model = net_factory_3d(cfg.model, in_chns=1, class_num=2, scaler=cfg.feature_scaler)
+    opt = make_optimizer(lambda s: cfg.base_lr)
+    state = create_train_state(model, jax.random.key(0), opt)
+    step = jax.jit(build_train_step(model, opt, cfg))
+    rng = np.random.default_rng(0)
+    label = rng.integers(0, 2, size=(4, 16, 16, 16)).astype(np.int32)
+    batch = {
+        "image": jnp.asarray(label[..., None] * 0.5 + 0.1 * rng.normal(size=(4, 16, 16, 16, 1)), jnp.float32),
+        "label": jnp.asarray(label),
+    }
+    return cfg, model, opt, state, step, batch
+
+
+class TestTrainStep:
+    def test_step_runs_and_updates(self, step_bundle):
+        cfg, model, opt, state, step, batch = step_bundle
+        scalars = StepScalars.make(5.0, 0.01, 1.3, 0.3)
+        new_state, m = step(state, batch, jax.random.key(1), scalars)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(m["loss"]))
+        # params moved
+        diff = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), state.params, new_state.params),
+        )
+        assert diff > 0
+        # EMA warmup: alpha=min(1-1/1, .99)=0 at step 0 -> teacher == student
+        t, s = jax.tree.leaves(new_state.teacher_params)[0], jax.tree.leaves(new_state.params)[0]
+        np.testing.assert_allclose(np.asarray(t), np.asarray(s), atol=1e-7)
+
+    def test_ema_second_step_is_blend(self, step_bundle):
+        cfg, model, opt, state, step, batch = step_bundle
+        scalars = StepScalars.make(5.0, 0.01, 1.3, 0.3)
+        s1, _ = step(state, batch, jax.random.key(1), scalars)
+        s2, _ = step(s1, batch, jax.random.key(2), scalars)
+        # alpha at step 1 = min(1-1/2, .99) = 0.5
+        want = jax.tree.map(lambda t, s: 0.5 * t + 0.5 * s, s1.teacher_params, s2.params)
+        got = s2.teacher_params
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(got)[0]), np.asarray(jax.tree.leaves(want)[0]), atol=1e-6
+        )
+
+    def test_nan_guard_skips_update(self, step_bundle):
+        cfg, model, opt, state, step, batch = step_bundle
+        bad_batch = dict(batch, image=batch["image"].at[0, 0, 0, 0, 0].set(jnp.nan))
+        new_state, m = step(state, bad_batch, jax.random.key(1), StepScalars.make(5.0, 0.01, 1.3, 0.3))
+        assert float(m["skipped"]) == 1.0
+        assert int(new_state.step) == 0
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(new_state.params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+
+    def test_loss_decreases_over_iterations(self, step_bundle):
+        cfg, model, opt, state, step, batch = step_bundle
+        scalars = StepScalars.make(0.5, 0.0, 1.3, 0.3)
+        losses = []
+        key = jax.random.key(7)
+        for i in range(8):
+            key, k = jax.random.split(key)
+            state, m = step(state, batch, k, scalars)
+            losses.append(float(m["loss_ce"]) + float(m["loss_dice"]))
+        assert losses[-1] < losses[0]
+
+
+class TestOptimizerSemantics:
+    def test_matches_torch_sgd(self, rng):
+        """One parameter, two steps: p <- p - lr*(mu*buf + g + wd*p)."""
+        import torch
+
+        lr, mu, wd = 0.1, 0.9, 1e-4
+        p0 = rng.normal(size=(5,)).astype(np.float32)
+        g1 = rng.normal(size=(5,)).astype(np.float32)
+        g2 = rng.normal(size=(5,)).astype(np.float32)
+
+        tp = torch.tensor(p0.copy(), requires_grad=True)
+        topt = torch.optim.SGD([tp], lr=lr, momentum=mu, weight_decay=wd)
+        for g in (g1, g2):
+            topt.zero_grad()
+            tp.grad = torch.tensor(g.copy())
+            torch.nn.utils.clip_grad_norm_([tp], max_norm=1.0)
+            topt.step()
+
+        opt = make_optimizer(lambda s: lr, momentum=mu, weight_decay=wd, clip_norm=1.0)
+        params = {"w": jnp.asarray(p0)}
+        ostate = opt.init(params)
+        for g in (g1, g2):
+            updates, ostate = opt.update({"w": jnp.asarray(g)}, ostate, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(), atol=1e-6)
+
+    def test_ema_update_tree(self):
+        t = {"a": jnp.ones(3)}
+        s = {"a": jnp.zeros(3)}
+        out = ema_update(t, s, 0.9)
+        np.testing.assert_allclose(np.asarray(out["a"]), 0.9)
+
+
+class TestTrainerEndToEnd:
+    def test_full_loop_with_val_and_checkpoint(self, tmp_path):
+        from dycon_paper_replication_tpu.data import synthetic
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        root = tmp_path / "Pancreas"
+        synthetic.make_pancreas(str(root), n_train=6, n_test=2, shape=(40, 40, 24))
+        cfg = _tiny_cfg(
+            root_dir=str(root), snapshot_root=str(tmp_path / "runs"),
+            max_iterations=3, val_every=2,
+        )
+        trainer = Trainer(cfg)
+        best = trainer.run()
+        assert os.path.exists(os.path.join(trainer.snapshot_path, "log.txt"))
+        assert os.path.exists(os.path.join(trainer.snapshot_path, "metrics.jsonl"))
+        assert 0.0 <= best <= 1.0
+        # checkpoint restore round-trip when a best model was saved
+        from dycon_paper_replication_tpu.utils import checkpoint as ckpt
+        best_path = ckpt.best_checkpoint_path(trainer.snapshot_path, cfg.model)
+        if os.path.exists(best_path):
+            template = create_train_state(trainer.model, jax.random.key(0), trainer.optimizer)
+            restored = ckpt.restore_checkpoint(best_path, template)
+            assert int(restored.step) >= 1

@@ -53,15 +53,16 @@ def main() -> None:
     sw = SlidingWindowInference(
         model, (96, 96, 96), stride_xy=16, stride_z=4,
         patch_batch=8 if on_tpu else 2,
+        transfer_dtype=np.float16 if on_tpu else np.float32,
     )
 
     # warmup (compile)
-    sw(params, state, volume)
+    sw(params, state, volume, return_score=False)
 
     n_iters = 10 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        label_map, _ = sw(params, state, volume)
+        label_map, _ = sw(params, state, volume, return_score=False)
     dt = time.perf_counter() - t0
     vols_per_sec = n_iters / dt
 

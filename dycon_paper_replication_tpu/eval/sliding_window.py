@@ -71,6 +71,7 @@ class SlidingWindowInference:
         stride_z: int,
         patch_batch: int = 8,
         shape_bucket: int = 32,
+        transfer_dtype=np.float32,
     ):
         self.model = model
         self.patch = tuple(patch_size)
@@ -78,19 +79,31 @@ class SlidingWindowInference:
         self.stride_z = stride_z
         self.patch_batch = patch_batch
         self.shape_bucket = shape_bucket
+        # dtype the raw volume is shipped to the device in; float16 halves
+        # the H2D bytes (fine when the model computes in bf16 anyway)
+        self.transfer_dtype = transfer_dtype
         self._compiled: dict = {}
 
-    def _device_fn(self, vol_shape: tuple[int, int, int], n_chunks: int):
-        key = (vol_shape, n_chunks)
+    def _device_fn(self, raw_shape, pads, bucket_shape, n_chunks: int):
+        key = (raw_shape, pads, bucket_shape, n_chunks)
         if key in self._compiled:
             return self._compiled[key]
         patch = self.patch
         B = self.patch_batch
         model = self.model
+        vol_shape = bucket_shape
+
+        total_pads = [
+            (lo, hi + b - (s + lo + hi))
+            for (lo, hi), s, b in zip(pads, raw_shape, bucket_shape)
+        ]
 
         @jax.jit
-        def run(params, state, volume, origins):
-            # volume: (*vol_shape, 1); origins: (n_chunks*B, 3) i32
+        def run(params, state, raw, origins):
+            # raw: (*raw_shape,) in transfer dtype; origins: (n_chunks*B, 3)
+            # pad on device (centered up to patch + right-pad to bucket):
+            # cheaper than shipping the padded volume over the host link
+            volume = jnp.pad(raw.astype(jnp.float32), total_pads)[..., None]
             score = jnp.zeros(vol_shape, jnp.float32)
             cnt = jnp.zeros(vol_shape, jnp.float32)
 
@@ -122,51 +135,51 @@ class SlidingWindowInference:
 
             chunks = origins.reshape(n_chunks, B, 3)
             (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
-            return score / jnp.maximum(cnt, 1e-12)
+            score = score / jnp.maximum(cnt, 1e-12)
+            # un-pad on device and compute the uint8 label there too: the
+            # common consumer (Dice validation / test metrics) only needs
+            # the thresholded map, and u8 is 4x cheaper to bring to host
+            sl = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, raw_shape))
+            score = score[sl]
+            return (score > 0.5).astype(jnp.uint8), score
 
         self._compiled[key] = run
         return run
 
-    def __call__(self, params, state, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        image = np.asarray(image, np.float32)
-        w, h, d = image.shape
+    def __call__(
+        self, params, state, image: np.ndarray, *, return_score: bool = True
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Returns (label_map int64, score_map f32). With
+        `return_score=False` the score stays on device (None returned) —
+        saves a volume-sized D2H when only the label is consumed."""
+        image = np.asarray(image, self.transfer_dtype)
+        raw_shape = image.shape
 
-        # centered pad up to patch size (reference pad rule)
-        pads, padded = [], image
-        for size, p in zip(image.shape, self.patch):
-            extra = max(p - size, 0)
-            pads.append((extra // 2, extra - extra // 2))
-        if any(p != (0, 0) for p in pads):
-            padded = np.pad(image, pads, mode="constant")
-        true_shape = padded.shape
+        # centered pad up to patch size (reference pad rule), performed on
+        # device; here only the amounts are computed
+        pads = tuple(
+            (max(p - size, 0) // 2, max(p - size, 0) - max(p - size, 0) // 2)
+            for size, p in zip(raw_shape, self.patch)
+        )
+        true_shape = tuple(s + lo + hi for s, (lo, hi) in zip(raw_shape, pads))
 
         origins = compute_origins(true_shape, self.patch, self.stride_xy, self.stride_z)
         k = len(origins)
 
-        # bucket: right-pad volume to multiples of shape_bucket, repeat
-        # origins to a power-of-two multiple of patch_batch
+        # bucket: right-pad volume shape to multiples of shape_bucket and
+        # origin count to a multiple of patch_batch (repeated origins leave
+        # the overlap average untouched: (x+x)/(1+1) == x)
         bucket_shape = tuple(
             max(_round_up(s, self.shape_bucket), p) for s, p in zip(true_shape, self.patch)
         )
-        if bucket_shape != true_shape:
-            padded = np.pad(
-                padded,
-                [(0, b - s) for s, b in zip(true_shape, bucket_shape)],
-                mode="constant",
-            )
-        k_bucket = self.patch_batch
-        while k_bucket < k:
-            k_bucket *= 2
+        k_bucket = _round_up(k, self.patch_batch)
         reps = np.tile(origins[-1:], (k_bucket - k, 1))
         origins_b = np.concatenate([origins, reps], axis=0)
         n_chunks = k_bucket // self.patch_batch
 
-        run = self._device_fn(bucket_shape, n_chunks)
-        score = run(params, state, jnp.asarray(padded[..., None]), jnp.asarray(origins_b))
-        score = np.asarray(score)[: true_shape[0], : true_shape[1], : true_shape[2]]
+        run = self._device_fn(raw_shape, pads, bucket_shape, n_chunks)
+        label_d, score_d = run(params, state, jnp.asarray(image), jnp.asarray(origins_b))
 
-        # un-pad the centered patch padding
-        (wl, _), (hl, _), (dl, _) = pads
-        score = score[wl : wl + w, hl : hl + h, dl : dl + d]
-        label_map = (score > 0.5).astype(np.int64)
+        label_map = np.asarray(label_d).astype(np.int64)
+        score = np.asarray(score_d) if return_score else None
         return label_map, score

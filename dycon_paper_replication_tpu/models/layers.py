@@ -67,6 +67,53 @@ def conv3d(
     )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
+    # store activations in the compute dtype: accumulation happened in f32
+    # (preferred_element_type); keeping the f32 result would double the
+    # HBM traffic of every downstream norm/pool/concat
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
+
+
+def conv_transpose3d_init(
+    key: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    kernel: tuple[int, int, int] = (2, 2, 2),
+    dtype=jnp.float32,
+) -> Params:
+    """Transposed-conv kernel (DHWIO, I=in, O=out) + zero bias."""
+    k_key, b_key = jax.random.split(key)
+    fan_in = in_ch * math.prod(kernel)
+    w = jax.random.normal(k_key, kernel + (in_ch, out_ch), dtype) * math.sqrt(2.0 / fan_in)
+    bound = 1.0 / math.sqrt(fan_in)
+    return {"w": w, "b": jax.random.uniform(b_key, (out_ch,), dtype, -bound, bound)}
+
+
+def conv_transpose3d(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    stride: tuple[int, int, int] = (2, 2, 2),
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Transposed 3-D convolution (NDHWC); kernel 2^3 stride 2 doubles
+    every spatial dim (torch ConvTranspose3d(k=2, s=2) semantics)."""
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_transpose(
+        x,
+        w,
+        strides=stride,
+        padding="VALID",
+        dimension_numbers=_CONV_DN,
+        preferred_element_type=jnp.float32,
+    )
+    y = y + params["b"].astype(y.dtype)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
     return y
 
 

@@ -1,0 +1,190 @@
+"""Functional V-Net with the DyCON three-head interface.
+
+Architecture parity target (reference networks/VNet.py:145-239,
+re-designed functional/NDHWC): five encoder levels of ConvBlock
+(n_stages x [3^3 conv -> BatchNorm -> ReLU]) with strided-conv
+downsampling, four decoder levels with transposed-conv upsampling and
+ADDITIVE skips, dropout(0.5) at the bottleneck and before the output.
+
+The reference's vnet factory path is broken two ways
+(net_factory_3d.py:9 passes kwargs VNet.__init__ doesn't accept, and
+VNet.forward returns one tensor where the trainers unpack three); this
+implementation fixes both by exposing the same `(sdf, seg, features)`
+interface as UNet3D: a tanh SDF head, segmentation logits, and a
+projection head over the scale_factor-upsampled bottleneck — so `--model
+vnet` actually trains under the DyCON losses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+from ..ops.resize import trilinear_resize
+
+Params = dict[str, Any]
+
+# conv stages per encoder/decoder block (reference VNet.py:150-174)
+_ENC_STAGES = (1, 2, 3, 3, 3)
+_DEC_STAGES = (3, 3, 2, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class VNetConfig:
+    in_channels: int = 1
+    n_classes: int = 2
+    n_filters: int = 16
+    scale_factor: int = 2
+    dropout_rate: float = 0.5
+    proj_hidden: int = 512
+    proj_out: int = 256
+    compute_dtype: Any = jnp.float32
+
+
+def _block_init(key, n_stages: int, in_ch: int, out_ch: int) -> tuple[Params, Params]:
+    keys = jax.random.split(key, n_stages * 2)
+    params, state = {}, {}
+    ch = in_ch
+    for i in range(n_stages):
+        params[f"conv{i}"] = layers.conv3d_init(keys[2 * i], ch, out_ch)
+        bn_p, bn_s = layers.batch_norm_init(out_ch)
+        params[f"bn{i}"] = bn_p
+        state[f"bn{i}"] = bn_s
+        ch = out_ch
+    return params, state
+
+
+def _block_apply(params, state, x, n_stages: int, *, train: bool, cd) -> tuple[jnp.ndarray, Params]:
+    new_state = {}
+    for i in range(n_stages):
+        x = layers.conv3d(params[f"conv{i}"], x, compute_dtype=cd)
+        x, new_state[f"bn{i}"] = layers.batch_norm(params[f"bn{i}"], state[f"bn{i}"], x, train=train)
+        x = jax.nn.relu(x)
+    return x, new_state
+
+
+def _resize_init(key, in_ch, out_ch, transpose: bool) -> tuple[Params, Params]:
+    k1, k2 = jax.random.split(key)
+    conv = (layers.conv_transpose3d_init if transpose else layers.conv3d_init)(
+        k1, in_ch, out_ch, (2, 2, 2)
+    )
+    bn_p, bn_s = layers.batch_norm_init(out_ch)
+    return {"conv": conv, "bn": bn_p}, {"bn": bn_s}
+
+
+def _down_apply(params, state, x, *, train, cd):
+    x = layers.conv3d(params["conv"], x, stride=(2, 2, 2), padding="VALID", compute_dtype=cd)
+    x, bn_s = layers.batch_norm(params["bn"], state["bn"], x, train=train)
+    return jax.nn.relu(x), {"bn": bn_s}
+
+
+def _up_apply(params, state, x, *, train, cd):
+    x = layers.conv_transpose3d(params["conv"], x, compute_dtype=cd)
+    x, bn_s = layers.batch_norm(params["bn"], state["bn"], x, train=train)
+    return jax.nn.relu(x), {"bn": bn_s}
+
+
+def init_vnet(key: jax.Array, cfg: VNetConfig) -> tuple[Params, Params]:
+    f = cfg.n_filters
+    enc_ch = [f, 2 * f, 4 * f, 8 * f, 16 * f]
+    keys = jax.random.split(key, 32)
+    params: Params = {}
+    state: Params = {}
+    ki = iter(range(32))
+
+    ch = cfg.in_channels
+    for lvl, (stages, out_ch) in enumerate(zip(_ENC_STAGES, enc_ch)):
+        params[f"enc{lvl}"], state[f"enc{lvl}"] = _block_init(keys[next(ki)], stages, ch, out_ch)
+        if lvl < 4:
+            params[f"down{lvl}"], state[f"down{lvl}"] = _resize_init(
+                keys[next(ki)], out_ch, enc_ch[lvl + 1], transpose=False
+            )
+        ch = enc_ch[lvl + 1] if lvl < 4 else out_ch
+
+    for lvl in range(4):  # up from level 4 down to level 1
+        in_ch, out_ch = enc_ch[4 - lvl], enc_ch[3 - lvl]
+        params[f"up{lvl}"], state[f"up{lvl}"] = _resize_init(keys[next(ki)], in_ch, out_ch, transpose=True)
+        params[f"dec{lvl}"], state[f"dec{lvl}"] = _block_init(
+            keys[next(ki)], _DEC_STAGES[lvl], out_ch, out_ch
+        )
+
+    params["out_conv"] = layers.conv3d_init(keys[next(ki)], f, cfg.n_classes, (1, 1, 1))
+    params["out_conv_sdf"] = layers.conv3d_init(keys[next(ki)], f, cfg.n_classes, (1, 1, 1))
+
+    pb1, pbs1 = layers.batch_norm_rand_init(keys[next(ki)], cfg.proj_hidden)
+    pb2, pbs2 = layers.batch_norm_rand_init(keys[next(ki)], cfg.proj_out)
+    params["projection"] = {
+        "conv1": layers.conv3d_init(keys[next(ki)], enc_ch[4], cfg.proj_hidden, (1, 1, 1)),
+        "bn1": pb1,
+        "conv2": layers.conv3d_init(keys[next(ki)], cfg.proj_hidden, cfg.proj_out, (1, 1, 1)),
+        "bn2": pb2,
+    }
+    state["projection"] = {"bn1": pbs1, "bn2": pbs2}
+    return params, state
+
+
+def vnet_apply(
+    params: Params,
+    state: Params,
+    x: jnp.ndarray,
+    cfg: VNetConfig,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    with_projection: bool = True,
+) -> tuple[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None], Params]:
+    """x: (B, D1, D2, D3, C), spatial dims divisible by 16.
+    Returns ((sdf, seg_logits, features), new_state), outputs f32."""
+    cd = cfg.compute_dtype
+    if train and rng is not None:
+        d1_key, d2_key = jax.random.split(rng)
+    else:
+        d1_key = d2_key = None
+
+    new_state: Params = {}
+    skips = []
+    h = x
+    for lvl, stages in enumerate(_ENC_STAGES):
+        h, new_state[f"enc{lvl}"] = _block_apply(
+            params[f"enc{lvl}"], state[f"enc{lvl}"], h, stages, train=train, cd=cd
+        )
+        if lvl < 4:
+            skips.append(h)
+            h, new_state[f"down{lvl}"] = _down_apply(
+                params[f"down{lvl}"], state[f"down{lvl}"], h, train=train, cd=cd
+            )
+    center = layers.dropout(h, cfg.dropout_rate, d1_key, train)
+
+    h = center
+    for lvl in range(4):
+        h, new_state[f"up{lvl}"] = _up_apply(params[f"up{lvl}"], state[f"up{lvl}"], h, train=train, cd=cd)
+        h = h + skips[3 - lvl].astype(h.dtype)  # additive skip (VNet.py:211-223)
+        h, new_state[f"dec{lvl}"] = _block_apply(
+            params[f"dec{lvl}"], state[f"dec{lvl}"], h, _DEC_STAGES[lvl], train=train, cd=cd
+        )
+    h = layers.dropout(h, cfg.dropout_rate, d2_key, train)
+
+    seg = layers.conv3d(params["out_conv"], h).astype(jnp.float32)
+    sdf = jnp.tanh(layers.conv3d(params["out_conv_sdf"], h)).astype(jnp.float32)
+
+    if not with_projection:
+        new_state["projection"] = state["projection"]
+        return (sdf, seg, None), new_state
+
+    target = tuple(s * cfg.scale_factor for s in center.shape[1:4])
+    proj = trilinear_resize(center, target, align_corners=True)
+    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd)
+    proj, bn1_state = layers.batch_norm(
+        params["projection"]["bn1"], state["projection"]["bn1"], proj, train=train
+    )
+    proj = jax.nn.relu(proj)
+    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd)
+    features, bn2_state = layers.batch_norm(
+        params["projection"]["bn2"], state["projection"]["bn2"], proj, train=train
+    )
+    new_state["projection"] = {"bn1": bn1_state, "bn2": bn2_state}
+    return (sdf, seg, features.astype(jnp.float32)), new_state

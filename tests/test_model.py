@@ -89,3 +89,31 @@ class TestVariants:
         (_, seg, feat), _ = jax.jit(lambda p, s, v: model.apply(p, s, v))(params, state, x)
         assert seg.shape == (2, 32, 32, 16, 2)
         assert feat.shape == (2, 4, 4, 2, 256)
+
+
+class TestVNet:
+    def test_shapes_and_heads(self):
+        model = net_factory_3d("vnet", in_chns=1, class_num=2, scaler=2)
+        params, state = model.init(jax.random.key(0))
+        x = jnp.zeros((2, 32, 32, 16, 1))
+        (sdf, seg, feat), new_state = jax.jit(
+            lambda p, s, v: model.apply(p, s, v)
+        )(params, state, x)
+        assert sdf.shape == (2, 32, 32, 16, 2)
+        assert seg.shape == (2, 32, 32, 16, 2)
+        # bottleneck (2,2,1) x scale_factor 2 -> (4,4,2), 256-ch projection
+        assert feat.shape == (2, 4, 4, 2, 256)
+        assert float(jnp.max(jnp.abs(sdf))) <= 1.0
+
+    def test_train_mode_runs_with_dropout(self, rng):
+        model = net_factory_3d("vnet", in_chns=1, class_num=2, scaler=2)
+        params, state = model.init(jax.random.key(0))
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 16, 1)), jnp.float32)
+        (_, seg, _), new_state = jax.jit(
+            lambda p, s, v: model.apply(p, s, v, train=True, rng=jax.random.key(7))
+        )(params, state, x)
+        assert bool(jnp.isfinite(seg).all())
+        # train-mode BN must update running stats somewhere in the encoder
+        old = np.asarray(state["enc0"]["bn0"]["mean"])
+        new = np.asarray(new_state["enc0"]["bn0"]["mean"])
+        assert not np.allclose(old, new)

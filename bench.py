@@ -61,8 +61,8 @@ def main() -> None:
 
     n_iters = 10 if on_tpu else 2
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        label_map, _ = sw(params, state, volume, return_score=False)
+    for label_map, _, in sw.map(params, state, (volume for _ in range(n_iters))):
+        pass
     dt = time.perf_counter() - t0
     vols_per_sec = n_iters / dt
 

@@ -64,6 +64,9 @@ class TrainConfig:
     use_focal: int = 1
     use_teacher_loss: int = 1
     fecl_rampup_epochs: float = 1500.0
+    # FeCL row-chunk size: 0 = dense (B,N,N) matrices; >0 = flash-style
+    # chunked evaluation, O(B*chunk*N) memory (use for large feature grids)
+    fecl_chunk: int = 0
 
     # dataset-behavior switches (the ISLES trainer deltas)
     teacher_train_mode: bool = True  # BraTS/Pancreas run teacher w/ dropout; ISLES eval
@@ -121,6 +124,9 @@ DATASET_DEFAULTS: dict[str, dict[str, Any]] = {
         patch_size=(96, 96, 64), feature_scaler=4, labelnum=10,
         batch_size=8, labeled_bs=4, lr_schedule="poly",
         teacher_train_mode=False, dice_loss_kind="nclass", mask_kernel_mode="derived",
+        # ISLES feature grid is (24,24,16) -> N=9216; dense FeCL would
+        # materialize ~170M-element (B,N,N) tensors (SURVEY.md §3.2)
+        fecl_chunk=512,
     ),
 }
 

@@ -48,8 +48,7 @@ def var_all_case(
 ) -> float:
     """Mean Dice over the validation volumes (0 for empty predictions)."""
     total, n = 0.0, 0
-    for image, label in volumes:
-        pred, _ = sw(params, state, image, return_score=False)
+    for pred, _, label in sw.map(params, state, ((img, lab) for img, lab in volumes)):
         total += metrics.dice(pred, label) if pred.sum() > 0 else 0.0
         n += 1
     return total / max(n, 1)
@@ -71,8 +70,7 @@ def test_all_case(
     if metric_detail:
         print(f"{'ID':<3} | {'Dice':<8} | {'Jaccard':<8} | {'HD95':<8} | {'ASD':<8}")
         print("-" * 45)
-    for image, label in volumes:
-        pred, _ = sw(params, state, image, return_score=False)
+    for pred, _, label in sw.map(params, state, ((img, lab) for img, lab in volumes)):
         if nms:
             pred = metrics.largest_connected_component(pred)
         if pred.sum() == 0:

@@ -183,3 +183,48 @@ class SlidingWindowInference:
         label_map = np.asarray(label_d).astype(np.int64)
         score = np.asarray(score_d) if return_score else None
         return label_map, score
+
+    def dispatch(self, params, state, image: np.ndarray):
+        """Async variant of __call__: enqueues H2D + the device program and
+        returns the (label, score) DEVICE arrays without blocking. Fetch
+        with np.asarray when needed. Enables volume-level pipelining."""
+        image = np.asarray(image, self.transfer_dtype)
+        raw_shape = image.shape
+        pads = tuple(
+            (max(p - size, 0) // 2, max(p - size, 0) - max(p - size, 0) // 2)
+            for size, p in zip(raw_shape, self.patch)
+        )
+        true_shape = tuple(s + lo + hi for s, (lo, hi) in zip(raw_shape, pads))
+        origins = compute_origins(true_shape, self.patch, self.stride_xy, self.stride_z)
+        k = len(origins)
+        bucket_shape = tuple(
+            max(_round_up(s, self.shape_bucket), p) for s, p in zip(true_shape, self.patch)
+        )
+        k_bucket = _round_up(k, self.patch_batch)
+        origins_b = np.concatenate([origins, np.tile(origins[-1:], (k_bucket - k, 1))], axis=0)
+        run = self._device_fn(raw_shape, pads, bucket_shape, k_bucket // self.patch_batch)
+        return run(params, state, jnp.asarray(image), jnp.asarray(origins_b))
+
+    def map(self, params, state, volumes, *, return_score: bool = False):
+        """Pipelined inference over an iterable of (image, ...) items.
+
+        Yields (label_map, score_or_None, *rest) per input item. The next
+        volume's transfer + compute are enqueued before the current one's
+        result is fetched, hiding host<->device latency behind compute.
+        """
+        pending = None  # (device_result, rest)
+        for item in volumes:
+            image, *rest = item if isinstance(item, tuple) else (item,)
+            dispatched = (self.dispatch(params, state, image), rest)
+            if pending is not None:
+                yield self._finish(pending, return_score)
+            pending = dispatched
+        if pending is not None:
+            yield self._finish(pending, return_score)
+
+    @staticmethod
+    def _finish(pending, return_score):
+        (label_d, score_d), rest = pending
+        label = np.asarray(label_d).astype(np.int64)
+        score = np.asarray(score_d) if return_score else None
+        return (label, score, *rest)

@@ -159,3 +159,123 @@ def gambling_softmax(logits: jnp.ndarray) -> jnp.ndarray:
     """Softmax over the class axis with an epsilon-guarded denominator."""
     e = jnp.exp(logits)
     return e / (jnp.sum(e, axis=-1, keepdims=True) + _EPS_LOG)
+
+
+def fecl_loss_chunked(
+    feat: jnp.ndarray,
+    mask: jnp.ndarray,
+    teacher_feat: jnp.ndarray | None = None,
+    *,
+    temperature: float = 0.6,
+    gamma: float = 2.0,
+    use_focal: bool = True,
+    pos_thresh: jnp.ndarray | float = 1.5,
+    neg_thresh: jnp.ndarray | float = 0.5,
+    lambda_cross: float = 1.0,
+    row_chunk: int = 512,
+) -> jnp.ndarray:
+    """FeCL with flash-attention-style row chunking.
+
+    Numerically identical math to `fecl_loss`, but the (B, N, N)
+    similarity / division / focal matrices are never materialized in
+    HBM: rows are processed in `row_chunk`-sized tiles inside a
+    rematerialized `lax.scan`, so peak memory is O(B * row_chunk * N)
+    and the backward pass recomputes tiles instead of storing them.
+    Use for large N (ISLES: N = 9216 -> dense needs ~170M-element
+    matrices; see SURVEY.md §3.2). N must be divisible by row_chunk
+    (the trainer's feature grids are powers of two times small factors;
+    pick row_chunk accordingly).
+    """
+    B, N, D = feat.shape
+    if N % row_chunk:
+        # fall back: correctness over memory for odd sizes
+        return fecl_loss(
+            feat, mask, teacher_feat,
+            temperature=temperature, gamma=gamma, use_focal=use_focal,
+            pos_thresh=pos_thresh, neg_thresh=neg_thresh, lambda_cross=lambda_cross,
+        )
+    T = row_chunk
+    n_tiles = N // T
+    dtype = feat.dtype
+
+    def per_item(feat_b, mask_b, tfeat_b):
+        row_ids = jnp.arange(N)
+        feat_tiles = feat_b.reshape(n_tiles, T, D)
+        id_tiles = row_ids.reshape(n_tiles, T)
+        mask_tiles = mask_b.reshape(n_tiles, T)
+
+        # ---- pass 1: per-column max of the diag-zeroed logits ----
+        def colmax_body(carry, xs):
+            f_t, ids = xs
+            l_t = (
+                jnp.einsum("td,nd->tn", f_t, feat_b, preferred_element_type=jnp.float32)
+                / temperature
+            )
+            l_t = l_t * (ids[:, None] != row_ids[None, :]).astype(l_t.dtype)
+            return jnp.maximum(carry, jnp.max(l_t, axis=0)), None
+
+        col_max, _ = jax.lax.scan(
+            colmax_body, jnp.full((N,), -jnp.inf, jnp.float32), (feat_tiles, id_tiles)
+        )
+        col_max = jax.lax.stop_gradient(col_max)
+
+        # ---- pass 2: per-row-tile loss terms ----
+        @jax.checkpoint
+        def tile_terms(f_t, ids, m_t):
+            same = (m_t[:, None] == mask_b[None, :]).astype(dtype)  # (T, N)
+            diff = 1.0 - same
+            off_diag = (ids[:, None] != row_ids[None, :]).astype(dtype)
+            l_t = (
+                jnp.einsum("td,nd->tn", f_t, feat_b, preferred_element_type=jnp.float32)
+                / temperature
+            )
+            l_t = l_t * off_diag
+            e_t = jnp.exp(l_t - col_max[None, :])
+            neg_sum = jnp.sum(e_t * diff, axis=-1, keepdims=True)
+            division = e_t / (e_t + neg_sum + _EPS_LOG)
+            loss_mat = -jnp.log(division + _EPS_LOG) * same * off_diag
+            if use_focal:
+                hard_pos = (same > 0) & (division < pos_thresh)
+                hard_neg = (diff > 0) & (division > neg_thresh)
+                focal = jnp.where(
+                    hard_pos,
+                    (1.0 - division) ** gamma,
+                    jnp.where(hard_neg, division**gamma, jnp.ones_like(division)),
+                )
+                row_sum = jnp.sum(loss_mat * focal, axis=-1)
+            else:
+                row_sum = jnp.sum(loss_mat, axis=-1)
+            pos_count = jnp.sum(same, axis=-1) - 1.0
+            student = jnp.sum(
+                jnp.where(pos_count > 0, row_sum / jnp.maximum(pos_count, 1.0), 0.0)
+            )
+            if tfeat_b is None:
+                return student, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
+            cs = jnp.einsum("td,nd->tn", f_t, tfeat_b, preferred_element_type=jnp.float32)
+            hard = ((diff > 0) & (cs > neg_thresh)).astype(dtype)
+            cross_sum = jnp.sum(-jnp.log(jnp.maximum(1.0 - cs, 0.0) + _EPS_LOG) * hard)
+            return student, cross_sum, jnp.sum(hard)
+
+        def scan_body(carry, xs):
+            f_t, ids, m_t = xs
+            s, cs, cc = tile_terms(f_t, ids, m_t)
+            return (carry[0] + s, carry[1] + cs, carry[2] + cc), None
+
+        (student_sum, cross_sum, cross_cnt), _ = jax.lax.scan(
+            scan_body,
+            (jnp.zeros((), jnp.float32),) * 3,
+            (feat_tiles, id_tiles, mask_tiles),
+        )
+        return student_sum, cross_sum, cross_cnt
+
+    tfeat_arg = teacher_feat if teacher_feat is not None else None
+    if tfeat_arg is None:
+        s, cs, cc = jax.vmap(lambda f, m: per_item(f, m, None))(feat, mask)
+    else:
+        s, cs, cc = jax.vmap(per_item)(feat, mask, tfeat_arg)
+
+    loss_student = jnp.sum(s) / (B * N)  # mean over all (b, row) pairs
+    if teacher_feat is None:
+        return loss_student
+    loss_cross = jnp.sum(cs) / (jnp.sum(cc) + _EPS_LOG)
+    return loss_student + lambda_cross * loss_cross

@@ -105,16 +105,20 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         kernel = _mask_kernel(cfg, image.shape[1:4], s_features.shape[1:4])
         mask = avg_pool_nonoverlap(label.astype(jnp.float32), kernel)
         mask = (mask > 0.5).astype(jnp.float32).reshape(label.shape[0], -1)
-        f_loss = dycon.fecl_loss(
-            stud_emb,
-            mask,
-            jax.lax.stop_gradient(ema_emb) if cfg.use_teacher_loss else None,
+        fecl_kwargs = dict(
             temperature=cfg.temp,
             gamma=cfg.gamma,
             use_focal=bool(cfg.use_focal),
             pos_thresh=scalars.pos_thresh,
             neg_thresh=scalars.neg_thresh,
         )
+        teacher_emb = jax.lax.stop_gradient(ema_emb) if cfg.use_teacher_loss else None
+        if cfg.fecl_chunk > 0:
+            f_loss = dycon.fecl_loss_chunked(
+                stud_emb, mask, teacher_emb, row_chunk=cfg.fecl_chunk, **fecl_kwargs
+            )
+        else:
+            f_loss = dycon.fecl_loss(stud_emb, mask, teacher_emb, **fecl_kwargs)
 
         # --- UnCL + plain consistency ---
         u_loss = dycon.uncl_loss(s_logits, jax.lax.stop_gradient(t_logits), scalars.beta)

@@ -191,3 +191,37 @@ class TestRamps:
     def test_poly_lr(self):
         assert ramps.poly_lr(0.01, 0, 100) == pytest.approx(0.01)
         assert ramps.poly_lr(0.01, 50, 100) == pytest.approx(0.01 * 0.5**0.9)
+
+
+class TestFeCLChunked:
+    @pytest.mark.parametrize("use_teacher", [False, True])
+    def test_matches_dense(self, rng, use_teacher):
+        B, N, D = 2, 64, 16
+        feat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        tfeat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        mask = torch.tensor(rng.integers(0, 2, size=(B, N)).astype(np.float32))
+        kw = dict(temperature=0.6, gamma=2.0, use_focal=True, pos_thresh=1.4, neg_thresh=0.35)
+        f, m = jnp.asarray(feat.numpy()), jnp.asarray(mask.numpy())
+        t = jnp.asarray(tfeat.numpy()) if use_teacher else None
+        dense = dycon.fecl_loss(f, m, t, **kw)
+        chunked = dycon.fecl_loss_chunked(f, m, t, row_chunk=16, **kw)
+        assert np.isclose(chunked, dense, rtol=1e-5, atol=1e-5), (chunked, dense)
+
+    def test_grads_match_dense(self, rng):
+        import jax
+        B, N, D = 2, 32, 8
+        feat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        mask = torch.tensor(rng.integers(0, 2, size=(B, N)).astype(np.float32))
+        f, m = jnp.asarray(feat.numpy()), jnp.asarray(mask.numpy())
+        kw = dict(temperature=0.6, use_focal=True, pos_thresh=1.4, neg_thresh=0.35)
+        g_dense = jax.grad(lambda x: dycon.fecl_loss(x, m, None, **kw))(f)
+        g_chunk = jax.grad(lambda x: dycon.fecl_loss_chunked(x, m, None, row_chunk=8, **kw))(f)
+        np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_dense), rtol=1e-4, atol=1e-5)
+
+    def test_indivisible_falls_back(self, rng):
+        feat = TF.normalize(torch.tensor(rng.normal(size=(1, 10, 8)).astype(np.float32)), dim=-1)
+        mask = torch.tensor(rng.integers(0, 2, size=(1, 10)).astype(np.float32))
+        f, m = jnp.asarray(feat.numpy()), jnp.asarray(mask.numpy())
+        dense = dycon.fecl_loss(f, m, None, pos_thresh=1.4, neg_thresh=0.35)
+        chunked = dycon.fecl_loss_chunked(f, m, None, row_chunk=16, pos_thresh=1.4, neg_thresh=0.35)
+        assert np.isclose(chunked, dense, rtol=1e-6)

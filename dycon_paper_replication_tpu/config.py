@@ -83,6 +83,10 @@ class TrainConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16
     num_prefetch: int = 2
     data_parallel: int = 0  # 0 = all visible devices
+    # resume: "" = fresh run; "auto" = restore this run-dir's best
+    # checkpoint; otherwise a checkpoint directory path. Restores the
+    # FULL TrainState (student, teacher, optimizer momentum, step).
+    resume: str = ""
 
     def snapshot_path(self) -> str:
         """Hyperparameter-encoded run directory. Mirrors the reference's
@@ -173,6 +177,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--val_every", type=int, default=d.val_every)
     p.add_argument("--data_parallel", type=int, default=d.data_parallel)
+    p.add_argument("--resume", type=str, default=d.resume,
+                   help='"" fresh, "auto" = best ckpt of this run dir, or a path')
     # kept for launch-script compatibility; device selection is JAX's
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--gpu_ids", type=str, default="0")

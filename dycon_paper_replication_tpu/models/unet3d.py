@@ -48,6 +48,10 @@ class UNet3DConfig:
     proj_hidden: int = 512
     proj_out: int = 256
     compute_dtype: Any = jnp.float32
+    # "xla" | "pallas": pallas routes 3^3 convs through the packed-lane
+    # kernel (ops/pallas_conv.py) — forward-only, for inference engines
+    conv_impl: str = "xla"
+    pallas_interpret: bool = False
 
     @property
     def filters(self) -> tuple[int, ...]:
@@ -62,11 +66,16 @@ def _conv_block_init(key: jax.Array, in_ch: int, out_ch: int) -> Params:
     }
 
 
-def _conv_block(params: Params, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+def _conv_block(params: Params, x: jnp.ndarray, cfg: "UNet3DConfig") -> jnp.ndarray:
     """UnetConv3: two (conv3^3 -> InstanceNorm -> ReLU) stages."""
-    x = layers.conv3d(params["conv1"], x, compute_dtype=compute_dtype)
+    kw = dict(
+        compute_dtype=cfg.compute_dtype,
+        conv_impl=cfg.conv_impl,
+        pallas_interpret=cfg.pallas_interpret,
+    )
+    x = layers.conv3d_auto(params["conv1"], x, **kw)
     x = jax.nn.relu(layers.instance_norm(x))
-    x = layers.conv3d(params["conv2"], x, compute_dtype=compute_dtype)
+    x = layers.conv3d_auto(params["conv2"], x, **kw)
     return jax.nn.relu(layers.instance_norm(x))
 
 
@@ -134,17 +143,17 @@ def unet3d_apply(
     skips = []
     h = x
     for name in ("conv1", "conv2", "conv3", "conv4"):
-        h = _conv_block(params[name], h, cd)
+        h = _conv_block(params[name], h, cfg)
         skips.append(h)
         h = max_pool_2x(h)
-    center = _conv_block(params["center"], h, cd)
+    center = _conv_block(params["center"], h, cfg)
     center = layers.dropout(center, cfg.dropout_rate, d1_key, train)
 
     h = center
     for name, skip in zip(("up_concat4", "up_concat3", "up_concat2", "up_concat1"), skips[::-1]):
         up = upsample2x(h)
         h = jnp.concatenate([skip.astype(up.dtype), up], axis=-1)
-        h = _conv_block(params[name], h, cd)
+        h = _conv_block(params[name], h, cfg)
     h = layers.dropout(h, cfg.dropout_rate, d2_key, train)
 
     new_state = dict(state)

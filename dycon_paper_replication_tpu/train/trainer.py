@@ -99,6 +99,14 @@ class Trainer:
         )
 
         self.state = create_train_state(self.model, jax.random.key(cfg.seed), self.optimizer)
+        if cfg.resume:
+            path = (
+                checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model)
+                if cfg.resume == "auto"
+                else cfg.resume
+            )
+            self.state = checkpoint.restore_checkpoint(path, self.state)
+            self.log.info("Resumed full TrainState from %s (step %d)", path, int(self.state.step))
         self.state = jax.device_put(self.state, self._replicated)
 
         step_fn = build_train_step(self.model, self.optimizer, cfg)
@@ -205,9 +213,12 @@ class Trainer:
 
     def run(self) -> float:
         cfg = self.cfg
-        iter_num = 0
+        iter_num = int(self.state.step)  # nonzero after resume
         key = jax.random.key(cfg.seed + 1)
-        for epoch in range(self.max_epoch):
+        if iter_num:
+            key = jax.random.fold_in(key, iter_num)
+        start_epoch = iter_num // self.iters_per_epoch
+        for epoch in range(start_epoch, self.max_epoch):
             beta, pos_th, neg_th = self._epoch_scalars(epoch)
             for batch in self.loader.epoch():
                 scalars = StepScalars.make(

@@ -59,3 +59,23 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def replicate_tree(mesh: Mesh, tree):
     rep = replicate(mesh)
     return jax.device_put(tree, rep)
+
+
+def distributed_init(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (the reference's unused NCCL
+    `distributed_setup`, utils/util.py:240-244, done the JAX way): call
+    once per host before creating the mesh; afterwards jax.devices()
+    spans all hosts and the same SPMD program runs over DCN. No-op when
+    JAX already knows its distributed context (e.g. TPU pod env vars)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

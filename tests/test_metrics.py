@@ -113,3 +113,21 @@ class TestLargestCC:
         seg = np.zeros((4, 4, 4), int)
         out = metrics.largest_connected_component(seg)
         assert np.asarray(out).sum() == 0
+
+
+class TestSDF:
+    def test_sign_convention_and_range(self):
+        from dycon_paper_replication_tpu.ops.sdf import compute_sdf
+        seg = np.zeros((1, 16, 16, 16), np.uint8)
+        seg[0, 4:12, 4:12, 4:12] = 1
+        sdf = compute_sdf(seg)
+        assert sdf.shape == seg.shape
+        assert sdf[0, 0, 0, 0] > 0        # far outside: positive
+        assert sdf[0, 8, 8, 8] < 0        # deep inside: negative
+        assert abs(float(sdf[0, 4, 8, 8])) < 1e-6  # boundary voxel: 0
+        assert sdf.min() >= -1.0 and sdf.max() <= 1.0
+
+    def test_empty_mask_is_zero(self):
+        from dycon_paper_replication_tpu.ops.sdf import compute_sdf
+        sdf = compute_sdf(np.zeros((2, 8, 8, 8)))
+        assert (sdf == 0).all()

@@ -87,6 +87,11 @@ class TrainConfig:
     # checkpoint; otherwise a checkpoint directory path. Restores the
     # FULL TrainState (student, teacher, optimizer momentum, step).
     resume: str = ""
+    # gradient rematerialization: "none" stores all forward activations
+    # for backward; "full" recomputes the student forward during the
+    # backward pass (~+30% step FLOPs, ~forward-only peak memory) —
+    # required for the full-size patch configs on 16GB-HBM chips
+    remat: str = "none"
 
     def snapshot_path(self) -> str:
         """Hyperparameter-encoded run directory. Mirrors the reference's
@@ -179,6 +184,7 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=d.data_parallel)
     p.add_argument("--resume", type=str, default=d.resume,
                    help='"" fresh, "auto" = best ckpt of this run dir, or a path')
+    p.add_argument("--remat", type=str, default=d.remat, choices=["none", "full"])
     # kept for launch-script compatibility; device selection is JAX's
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--gpu_ids", type=str, default="0")

@@ -56,6 +56,12 @@ def conv3d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # In reduced precision the conv emits its own dtype (the TPU MXU still
+    # accumulates f32 internally before rounding); requesting an f32
+    # preferred_element_type there would (a) double the HBM traffic of
+    # every downstream op and (b) break the conv transpose rule under
+    # jax.grad (f32 cotangent against a bf16 operand).
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -63,15 +69,10 @@ def conv3d(
         padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
-    # store activations in the compute dtype: accumulation happened in f32
-    # (preferred_element_type); keeping the f32 result would double the
-    # HBM traffic of every downstream norm/pool/concat
-    if compute_dtype is not None:
-        y = y.astype(compute_dtype)
     return y
 
 
@@ -139,11 +140,9 @@ def conv_transpose3d(
         strides=stride,
         padding="VALID",
         dimension_numbers=_CONV_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
     y = y + params["b"].astype(y.dtype)
-    if compute_dtype is not None:
-        y = y.astype(compute_dtype)
     return y
 
 

@@ -168,8 +168,8 @@ def vnet_apply(
         )
     h = layers.dropout(h, cfg.dropout_rate, d2_key, train)
 
-    seg = layers.conv3d(params["out_conv"], h).astype(jnp.float32)
-    sdf = jnp.tanh(layers.conv3d(params["out_conv_sdf"], h)).astype(jnp.float32)
+    seg = layers.conv3d(params["out_conv"], h, compute_dtype=cd).astype(jnp.float32)
+    sdf = jnp.tanh(layers.conv3d(params["out_conv_sdf"], h, compute_dtype=cd)).astype(jnp.float32)
 
     if not with_projection:
         new_state["projection"] = state["projection"]

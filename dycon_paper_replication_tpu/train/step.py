@@ -77,12 +77,21 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
     labeled_bs = cfg.labeled_bs
     consistency_kind = cfg.consistency_type
 
+    def _student_forward(params, model_state, image, rng):
+        return model.apply(params, model_state, image, train=True, rng=rng)
+
+    if cfg.remat == "full":
+        # recompute the student forward in the backward pass instead of
+        # storing every activation — the 8x lane-padded f32 residuals of
+        # big-patch configs exceed 16GB HBM otherwise
+        _student_forward = jax.checkpoint(_student_forward)
+
     def loss_fn(params, model_state, batch, teacher_out, rng, scalars: StepScalars):
         image, label = batch["image"], batch["label"]
         (t_sdf, t_logits, t_features) = teacher_out
 
-        (_, s_logits, s_features), new_model_state = model.apply(
-            params, model_state, image, train=True, rng=rng
+        (_, s_logits, s_features), new_model_state = _student_forward(
+            params, model_state, image, rng
         )
 
         s_probs = jax.nn.softmax(s_logits, axis=-1)

@@ -184,3 +184,19 @@ class TestTrainerEndToEnd:
         assert int(t2.state.step) >= 1  # restored, not fresh
         t2.run()
         assert int(t2.state.step) >= 3
+
+
+class TestRemat:
+    def test_remat_step_matches_no_remat(self, step_bundle):
+        """remat='full' must be numerically identical (same graph, just
+        recomputed in backward)."""
+        cfg, model, opt, state, step, batch = step_bundle
+        cfg_r = _tiny_cfg(remat="full")
+        step_r = jax.jit(build_train_step(model, opt, cfg_r))
+        sc = StepScalars.make(5.0, 0.01, 1.3, 0.3)
+        s1, m1 = step(state, batch, jax.random.key(3), sc)
+        s2, m2 = step_r(state, batch, jax.random.key(3), sc)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+        a = np.asarray(jax.tree.leaves(s1.params)[0])
+        b = np.asarray(jax.tree.leaves(s2.params)[0])
+        np.testing.assert_allclose(a, b, atol=1e-6)

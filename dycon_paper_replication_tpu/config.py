@@ -121,12 +121,14 @@ DATASET_DEFAULTS: dict[str, dict[str, Any]] = {
         patch_size=(112, 112, 96), feature_scaler=2, labelnum=12,
         batch_size=8, labeled_bs=4, lr_schedule="const",
         teacher_train_mode=True, dice_loss_kind="binary", mask_kernel_mode="fixed",
+        remat="full",
     ),
     "brats19": dict(
         root_dir="../data/BraTS2019", exp="BraTS2019", dataset="brats19",
         patch_size=(96, 96, 96), feature_scaler=2, labelnum=25,
         batch_size=8, labeled_bs=4, lr_schedule="const",
         teacher_train_mode=True, dice_loss_kind="binary", mask_kernel_mode="fixed",
+        remat="full",
     ),
     "isles22": dict(
         root_dir="../data/ISLES22", exp="ISLES22", dataset="isles22",

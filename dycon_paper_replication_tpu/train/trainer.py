@@ -79,6 +79,7 @@ class Trainer:
         self.log.info(str(dataclasses.asdict(cfg)))
         with open(os.path.join(self.snapshot_path, "config.json"), "w") as f:
             json.dump({k: str(v) for k, v in dataclasses.asdict(cfg).items()}, f, indent=2)
+        self._snapshot_code()
 
         self.mesh = make_mesh(cfg.data_parallel, cfg.batch_size)
         self._batch_sharding = batch_sharding(self.mesh)
@@ -117,6 +118,19 @@ class Trainer:
         self.timer = StepTimer()
         self.best_performance = 0.0
         self.hd95_every = max(cfg.val_every // 4, 1)
+
+    def _snapshot_code(self) -> None:
+        """Copy the framework source next to the checkpoints so every run
+        is reproducible from its own directory (the reference copies its
+        code/ tree per run, train_DyCON_Pancreas.py:127-130)."""
+        import shutil
+
+        src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(self.snapshot_path, "code")
+        if not os.path.exists(dst):
+            shutil.copytree(
+                src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
+            )
 
     # ---------------- data ----------------
 

@@ -210,15 +210,23 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         dice_b = (2.0 * inter) / (
             jnp.sum(pred_fg, axis=(1, 2, 3)) + jnp.sum(lab_f, axis=(1, 2, 3)) + 1e-8
         )
+        scalar_vec = jnp.stack(
+            [
+                total,
+                aux["loss_ce"],
+                aux["loss_dice"],
+                aux["f_loss"],
+                aux["u_loss"],
+                aux["consistency_loss"],
+                jnp.mean(dice_b),
+                bad.astype(jnp.float32),
+            ]
+        )
         metrics = {
-            "loss": total,
-            "loss_ce": aux["loss_ce"],
-            "loss_dice": aux["loss_dice"],
-            "f_loss": aux["f_loss"],
-            "u_loss": aux["u_loss"],
-            "consistency_loss": aux["consistency_loss"],
-            "train_dice": jnp.mean(dice_b),
-            "skipped": bad.astype(jnp.float32),
+            # all per-step scalars in ONE array: the host fetches them with
+            # a single D2H (high-latency links make per-scalar fetches the
+            # hot-loop bottleneck); order = SCALAR_METRICS
+            "scalars": scalar_vec,
             "pred_fg": pred_fg,
             # device-resident diagnostics; transferred only when consumed
             "embedding": jax.lax.stop_gradient(aux["embedding"]),
@@ -227,3 +235,23 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         return new_state, metrics
 
     return train_step
+
+
+# order of the packed per-step scalar metrics returned by train_step
+SCALAR_METRICS = (
+    "loss",
+    "loss_ce",
+    "loss_dice",
+    "f_loss",
+    "u_loss",
+    "consistency_loss",
+    "train_dice",
+    "skipped",
+)
+
+
+def unpack_scalars(metrics) -> dict[str, float]:
+    """metrics['scalars'] device vector -> {name: float} (one D2H)."""
+    import numpy as np
+
+    return dict(zip(SCALAR_METRICS, np.asarray(metrics["scalars"]).tolist()))

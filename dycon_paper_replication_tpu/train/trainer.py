@@ -55,7 +55,7 @@ from ..utils import ExperimentLogger, checkpoint
 from ..utils.monitor import monitor_similarity_distributions
 from ..utils.profiling import StepTimer
 from .state import create_train_state, make_optimizer
-from .step import StepScalars, build_train_step
+from .step import SCALAR_METRICS, StepScalars, build_train_step
 
 # ISLES-2022 labelnum (patients) -> number of labeled training volumes
 # (train_DyCON_ISLES22.py:124-135)
@@ -241,7 +241,9 @@ class Trainer:
                 key, step_key = jax.random.split(key)
                 self.timer.start()
                 self.state, m = self.train_step(self.state, batch, step_key, scalars)
-                self.timer.stop(m["loss"])
+                # ONE host<->device round trip for all per-step scalars
+                v = dict(zip(SCALAR_METRICS, np.asarray(m["scalars"]).tolist()))
+                self.timer.stop(m["scalars"])
                 iter_num += 1
 
                 if iter_num % 200 == 0:
@@ -259,24 +261,24 @@ class Trainer:
 
                 self.log.scalars(
                     {
-                        "info/loss": m["loss"],
-                        "info/f_loss": m["f_loss"],
-                        "info/u_loss": m["u_loss"],
-                        "info/loss_ce": m["loss_ce"],
-                        "info/loss_dice": m["loss_dice"],
-                        "info/consistency_loss": m["consistency_loss"],
+                        "info/loss": v["loss"],
+                        "info/f_loss": v["f_loss"],
+                        "info/u_loss": v["u_loss"],
+                        "info/loss_ce": v["loss_ce"],
+                        "info/loss_dice": v["loss_dice"],
+                        "info/consistency_loss": v["consistency_loss"],
                         "info/consistency_weight": float(scalars.consistency_weight),
-                        "train/Dice": m["train_dice"],
+                        "train/Dice": v["train_dice"],
                     },
                     iter_num,
                 )
                 self.log.info(
                     "Iteration %d : Loss : %f, Loss_CE: %f, Loss_Dice: %f, "
                     "UnCLoss: %f, FeCLoss: %f, mean_dice: %f",
-                    iter_num, float(m["loss"]), float(m["loss_ce"]), float(m["loss_dice"]),
-                    float(m["u_loss"]), float(m["f_loss"]), float(m["train_dice"]),
+                    iter_num, v["loss"], v["loss_ce"], v["loss_dice"],
+                    v["u_loss"], v["f_loss"], v["train_dice"],
                 )
-                if float(m["skipped"]):
+                if v["skipped"]:
                     self.log.info("NaN or Inf found in loss at iteration %d — skipped", iter_num)
 
                 if iter_num > 0 and iter_num % cfg.val_every == 0:

@@ -18,7 +18,7 @@ from dycon_paper_replication_tpu.train.state import (
     ema_update,
     make_optimizer,
 )
-from dycon_paper_replication_tpu.train.step import StepScalars, build_train_step
+from dycon_paper_replication_tpu.train.step import StepScalars, build_train_step, unpack_scalars
 
 
 def _tiny_cfg(**kw):
@@ -53,7 +53,7 @@ class TestTrainStep:
         scalars = StepScalars.make(5.0, 0.01, 1.3, 0.3)
         new_state, m = step(state, batch, jax.random.key(1), scalars)
         assert int(new_state.step) == 1
-        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(unpack_scalars(m)["loss"])
         # params moved
         diff = jax.tree.reduce(
             lambda a, b: a + b,
@@ -80,7 +80,7 @@ class TestTrainStep:
         cfg, model, opt, state, step, batch = step_bundle
         bad_batch = dict(batch, image=batch["image"].at[0, 0, 0, 0, 0].set(jnp.nan))
         new_state, m = step(state, bad_batch, jax.random.key(1), StepScalars.make(5.0, 0.01, 1.3, 0.3))
-        assert float(m["skipped"]) == 1.0
+        assert unpack_scalars(m)["skipped"] == 1.0
         assert int(new_state.step) == 0
         np.testing.assert_array_equal(
             np.asarray(jax.tree.leaves(new_state.params)[0]),
@@ -95,7 +95,8 @@ class TestTrainStep:
         for i in range(8):
             key, k = jax.random.split(key)
             state, m = step(state, batch, k, scalars)
-            losses.append(float(m["loss_ce"]) + float(m["loss_dice"]))
+            v = unpack_scalars(m)
+            losses.append(v["loss_ce"] + v["loss_dice"])
         assert losses[-1] < losses[0]
 
 
@@ -196,7 +197,7 @@ class TestRemat:
         sc = StepScalars.make(5.0, 0.01, 1.3, 0.3)
         s1, m1 = step(state, batch, jax.random.key(3), sc)
         s2, m2 = step_r(state, batch, jax.random.key(3), sc)
-        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(unpack_scalars(m1)["loss"], unpack_scalars(m2)["loss"], rtol=1e-6)
         a = np.asarray(jax.tree.leaves(s1.params)[0])
         b = np.asarray(jax.tree.leaves(s2.params)[0])
         np.testing.assert_allclose(a, b, atol=1e-6)

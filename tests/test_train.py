@@ -201,3 +201,32 @@ class TestRemat:
         a = np.asarray(jax.tree.leaves(s1.params)[0])
         b = np.asarray(jax.tree.leaves(s2.params)[0])
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestDeterminism:
+    def test_same_seed_same_losses(self, tmp_path):
+        """Two Trainer runs with identical config+seed produce the same
+        loss sequence (seeded data order, augmentations, dropout)."""
+        from dycon_paper_replication_tpu.data import synthetic
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        root = tmp_path / "Pancreas"
+        synthetic.make_pancreas(str(root), n_train=6, n_test=2, shape=(40, 40, 24))
+
+        def run(tag):
+            cfg = _tiny_cfg(root_dir=str(root), snapshot_root=str(tmp_path / tag),
+                            max_iterations=2, val_every=100)
+            t = Trainer(cfg)
+            losses = []
+            orig = t.train_step
+            def wrapped(state, batch, key, scalars):
+                s, m = orig(state, batch, key, scalars)
+                losses.append(unpack_scalars(m)["loss"])
+                return s, m
+            t.train_step = wrapped
+            t.run()
+            return losses
+
+        l1, l2 = run("a"), run("b")
+        assert len(l1) == 2
+        np.testing.assert_allclose(l1, l2, rtol=1e-6)

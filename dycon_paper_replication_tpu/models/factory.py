@@ -42,6 +42,7 @@ def net_factory_3d(
     compute_dtype: Any = jnp.float32,
     conv_impl: str = "xla",
     pallas_interpret: bool = False,
+    layout: str = "NDHWC",
 ) -> Model:
     if net_type == "unet_3D":
         cfg = UNet3DConfig(
@@ -52,6 +53,7 @@ def net_factory_3d(
             compute_dtype=compute_dtype,
             conv_impl=conv_impl,
             pallas_interpret=pallas_interpret,
+            layout=layout,
         )
         return Model(cfg, init_unet3d, unet3d_apply)
     if net_type == "vnet":

@@ -50,8 +50,16 @@ def conv3d(
     padding: str | tuple = "SAME",
     dilation: tuple[int, int, int] = (1, 1, 1),
     compute_dtype=None,
+    data_format: str = "NDHWC",
 ) -> jnp.ndarray:
-    """3-D convolution over (B, D1, D2, D3, C)."""
+    """3-D convolution over (B, D1, D2, D3, C) or (B, C, D1, D2, D3).
+
+    Layout note (measured on v5e): XLA puts the minor-most dim in the
+    128-lane axis. With C < 128 the NDHWC form is padded up to 8x in
+    memory/bandwidth; NCDHW (W in lanes) runs the same conv ~2x faster
+    for this network's channel counts. Kernels are stored DHWIO either
+    way; only the IO dimension strings change.
+    """
     w = params["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -62,17 +70,19 @@ def conv3d(
     # every downstream op and (b) break the conv transpose rule under
     # jax.grad (f32 cotangent against a bf16 operand).
     preferred = jnp.float32 if x.dtype == jnp.float32 else None
+    dn = (data_format, "DHWIO", data_format)
     y = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
-        dimension_numbers=_CONV_DN,
+        dimension_numbers=dn,
         preferred_element_type=preferred,
     )
     if "b" in params:
-        y = y + params["b"].astype(y.dtype)
+        b = params["b"].astype(y.dtype)
+        y = y + (b[:, None, None, None] if data_format == "NCDHW" else b)
     return y
 
 
@@ -83,6 +93,7 @@ def conv3d_auto(
     compute_dtype=None,
     conv_impl: str = "xla",
     pallas_interpret: bool = False,
+    data_format: str = "NDHWC",
 ) -> jnp.ndarray:
     """conv3d that routes 3^3 SAME convs to the packed-lane Pallas kernel
     when `conv_impl == "pallas"` and a valid lane packing exists (see
@@ -90,7 +101,11 @@ def conv3d_auto(
     path is forward-only — use for inference (the sliding-window engine),
     not under jax.grad."""
     w = params["w"]
-    if conv_impl == "pallas" and w.shape[:3] == (3, 3, 3):
+    if (
+        conv_impl == "pallas"
+        and data_format == "NDHWC"
+        and w.shape[:3] == (3, 3, 3)
+    ):
         from ..ops.pallas_conv import choose_pack, packed_conv3d
 
         p = choose_pack(w.shape[3], x.shape[3])
@@ -103,7 +118,7 @@ def conv3d_auto(
                 out_dtype=compute_dtype or x.dtype,
                 interpret=pallas_interpret,
             )
-    return conv3d(params, x, compute_dtype=compute_dtype)
+    return conv3d(params, x, compute_dtype=compute_dtype, data_format=data_format)
 
 
 def conv_transpose3d_init(
@@ -146,7 +161,7 @@ def conv_transpose3d(
     return y
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5, channel_axis: int = -1) -> jnp.ndarray:
     """Per-sample, per-channel normalization over the spatial axes.
 
     No affine transform and no running stats (torch InstanceNorm3d
@@ -154,9 +169,11 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     networks/utils.py:104-110); train and eval behave identically.
     Stats are taken in float32 for stability under bf16 compute.
     """
+    ca = channel_axis % x.ndim
+    spatial = tuple(a for a in range(1, x.ndim) if a != ca)
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    mean = jnp.mean(xf, axis=spatial, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=spatial, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y.astype(x.dtype)
 
@@ -186,18 +203,27 @@ def batch_norm(
     train: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    channel_axis: int = -1,
 ) -> tuple[jnp.ndarray, Params]:
-    """Channel batch norm over (B, D1, D2, D3, C).
+    """Channel batch norm over an NDHWC or NCDHW volume.
 
     Train: normalize with batch stats (biased var), update running stats
     with the unbiased var (torch convention). Eval: use running stats.
     Returns (y, new_state).
     """
+    ca = channel_axis % x.ndim
+    reduce_axes = tuple(a for a in range(x.ndim) if a != ca)
+    bshape = [1] * x.ndim
+    bshape[ca] = x.shape[ca]
+
+    def bc(v):
+        return v.reshape(bshape)
+
     if train:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2, 3))
-        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2, 3))
-        n = x.size // x.shape[-1]
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf - bc(mean)), axis=reduce_axes)
+        n = x.size // x.shape[ca]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
@@ -206,8 +232,8 @@ def batch_norm(
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
-    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    y = (x.astype(jnp.float32) - bc(mean)) * jax.lax.rsqrt(bc(var) + eps)
+    y = y * bc(params["scale"].astype(jnp.float32)) + bc(params["bias"].astype(jnp.float32))
     return y.astype(x.dtype), new_state
 
 

@@ -52,6 +52,11 @@ class UNet3DConfig:
     # kernel (ops/pallas_conv.py) — forward-only, for inference engines
     conv_impl: str = "xla"
     pallas_interpret: bool = False
+    # internal tensor layout: "NDHWC" or "NCDHW". On TPU, NCDHW puts the
+    # W axis in the 128-lane dim (1.33x pad) instead of the C<128 axis
+    # (up to 8x pad) — measured ~2x faster convs on v5e. The EXTERNAL
+    # interface (inputs and all three outputs) is channels-last either way.
+    layout: str = "NDHWC"
 
     @property
     def filters(self) -> tuple[int, ...]:
@@ -68,15 +73,17 @@ def _conv_block_init(key: jax.Array, in_ch: int, out_ch: int) -> Params:
 
 def _conv_block(params: Params, x: jnp.ndarray, cfg: "UNet3DConfig") -> jnp.ndarray:
     """UnetConv3: two (conv3^3 -> InstanceNorm -> ReLU) stages."""
+    ca = 1 if cfg.layout == "NCDHW" else -1
     kw = dict(
         compute_dtype=cfg.compute_dtype,
         conv_impl=cfg.conv_impl,
         pallas_interpret=cfg.pallas_interpret,
+        data_format=cfg.layout,
     )
     x = layers.conv3d_auto(params["conv1"], x, **kw)
-    x = jax.nn.relu(layers.instance_norm(x))
+    x = jax.nn.relu(layers.instance_norm(x, channel_axis=ca))
     x = layers.conv3d_auto(params["conv2"], x, **kw)
-    return jax.nn.relu(layers.instance_norm(x))
+    return jax.nn.relu(layers.instance_norm(x, channel_axis=ca))
 
 
 def init_unet3d(key: jax.Array, cfg: UNet3DConfig) -> tuple[Params, Params]:
@@ -135,54 +142,73 @@ def unet3d_apply(
     sliding-window eval only consumes seg_logits); features is then None.
     """
     cd = cfg.compute_dtype
+    cf = cfg.layout == "NCDHW"
+    ca = 1 if cf else -1
+    spatial_axes = (2, 3, 4) if cf else (1, 2, 3)
     if train and rng is not None:
         d1_key, d2_key, aspp_key = jax.random.split(rng, 3)
     else:
         d1_key = d2_key = aspp_key = None
 
+    def head_conv(p, v):
+        y = layers.conv3d(p, v, compute_dtype=cd, data_format=cfg.layout)
+        if cf:
+            y = jnp.moveaxis(y, 1, -1)  # back to channels-last
+        return y.astype(jnp.float32)
+
     skips = []
-    h = x
+    h = jnp.moveaxis(x, -1, 1) if cf else x
     for name in ("conv1", "conv2", "conv3", "conv4"):
         h = _conv_block(params[name], h, cfg)
         skips.append(h)
-        h = max_pool_2x(h)
+        h = max_pool_2x(h, data_format=cfg.layout)
     center = _conv_block(params["center"], h, cfg)
     center = layers.dropout(center, cfg.dropout_rate, d1_key, train)
 
     h = center
     for name, skip in zip(("up_concat4", "up_concat3", "up_concat2", "up_concat1"), skips[::-1]):
-        up = upsample2x(h)
-        h = jnp.concatenate([skip.astype(up.dtype), up], axis=-1)
+        up = upsample2x(h, spatial_axes=spatial_axes)
+        h = jnp.concatenate([skip.astype(up.dtype), up], axis=ca)
         h = _conv_block(params[name], h, cfg)
     h = layers.dropout(h, cfg.dropout_rate, d2_key, train)
 
     new_state = dict(state)
     if not with_projection:
-        sdf = jnp.tanh(layers.conv3d(params["final"], h, compute_dtype=cd)).astype(jnp.float32)
-        seg = layers.conv3d(params["out_conv2"], h, compute_dtype=cd).astype(jnp.float32)
+        sdf = jnp.tanh(head_conv(params["final"], h))
+        seg = head_conv(params["out_conv2"], h)
         return (sdf, seg, None), new_state
 
     proj_in = center
     if cfg.use_aspp:
+        if cf:
+            proj_in = jnp.moveaxis(proj_in, 1, -1)
         proj_in, new_state["aspp"] = aspp3d_apply(
-            params["aspp"], state["aspp"], center, train=train, rng=aspp_key
+            params["aspp"], state["aspp"], proj_in, train=train, rng=aspp_key
         )
+        if cf:
+            proj_in = jnp.moveaxis(proj_in, -1, 1)
 
-    target = tuple(s * cfg.scale_factor for s in proj_in.shape[1:4])
-    proj = trilinear_resize(proj_in, target, align_corners=True)
-    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd)
+    target = tuple(proj_in.shape[a] * cfg.scale_factor for a in spatial_axes)
+    proj = trilinear_resize(proj_in, target, align_corners=True, spatial_axes=spatial_axes)
+    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd,
+                         data_format=cfg.layout)
     proj, bn1_state = layers.batch_norm(
-        params["projection"]["bn1"], state["projection"]["bn1"], proj, train=train
+        params["projection"]["bn1"], state["projection"]["bn1"], proj,
+        train=train, channel_axis=ca,
     )
     proj = jax.nn.relu(proj)
-    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd)
+    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd,
+                         data_format=cfg.layout)
     features, bn2_state = layers.batch_norm(
-        params["projection"]["bn2"], state["projection"]["bn2"], proj, train=train
+        params["projection"]["bn2"], state["projection"]["bn2"], proj,
+        train=train, channel_axis=ca,
     )
     new_state["projection"] = {"bn1": bn1_state, "bn2": bn2_state}
+    if cf:
+        features = jnp.moveaxis(features, 1, -1)
 
-    sdf = jnp.tanh(layers.conv3d(params["final"], h, compute_dtype=cd)).astype(jnp.float32)
-    seg = layers.conv3d(params["out_conv2"], h, compute_dtype=cd).astype(jnp.float32)
+    sdf = jnp.tanh(head_conv(params["final"], h))
+    seg = head_conv(params["out_conv2"], h)
     return (sdf, seg, features.astype(jnp.float32)), new_state
 
 

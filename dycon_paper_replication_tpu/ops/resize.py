@@ -44,26 +44,34 @@ def _axis_lerp(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool) ->
 
 
 def trilinear_resize(
-    x: jnp.ndarray, out_spatial: tuple[int, int, int], align_corners: bool = False
+    x: jnp.ndarray,
+    out_spatial: tuple[int, int, int],
+    align_corners: bool = False,
+    spatial_axes: tuple[int, int, int] = (1, 2, 3),
 ) -> jnp.ndarray:
-    """Resize an NDHWC volume (B, D1, D2, D3, C) to `out_spatial`."""
-    for i, size in enumerate(out_spatial):
-        x = _axis_lerp(x, axis=1 + i, out_size=size, align_corners=align_corners)
+    """Resize the three spatial axes of a 5-D volume to `out_spatial`
+    (NDHWC: axes (1,2,3); NCDHW: axes (2,3,4))."""
+    for axis, size in zip(spatial_axes, out_spatial):
+        x = _axis_lerp(x, axis=axis, out_size=size, align_corners=align_corners)
     return x
 
 
-def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+def upsample2x(x: jnp.ndarray, spatial_axes: tuple[int, int, int] = (1, 2, 3)) -> jnp.ndarray:
     """Trilinear 2x upsample, half-pixel centers (decoder path)."""
-    out = tuple(2 * s for s in x.shape[1:4])
-    return trilinear_resize(x, out, align_corners=False)
+    out = tuple(2 * x.shape[a] for a in spatial_axes)
+    return trilinear_resize(x, out, align_corners=False, spatial_axes=spatial_axes)
 
 
-def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2x2 stride-2 max pool over the spatial axes of an NDHWC volume.
+def max_pool_2x(x: jnp.ndarray, data_format: str = "NDHWC") -> jnp.ndarray:
+    """2x2x2 stride-2 max pool over the spatial axes of a 5-D volume.
 
     Non-overlapping windows: a reshape + max is fully fusible by XLA and
     avoids the generality cost of reduce_window.
     """
+    if data_format == "NCDHW":
+        b, c, d1, d2, d3 = x.shape
+        x = x.reshape(b, c, d1 // 2, 2, d2 // 2, 2, d3 // 2, 2)
+        return x.max(axis=(3, 5, 7))
     b, d1, d2, d3, c = x.shape
     x = x.reshape(b, d1 // 2, 2, d2 // 2, 2, d3 // 2, 2, c)
     return x.max(axis=(2, 4, 6))

@@ -117,3 +117,28 @@ class TestVNet:
         old = np.asarray(state["enc0"]["bn0"]["mean"])
         new = np.asarray(new_state["enc0"]["bn0"]["mean"])
         assert not np.allclose(old, new)
+
+
+class TestLayoutParity:
+    def test_ncdhw_matches_ndhwc(self, rng):
+        """Channels-first internals must be numerically equivalent; only
+        the device layout differs. Same params, same outputs."""
+        m_cl = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2)
+        params, state = m_cl.init(jax.random.key(4))
+        m_cf = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2, layout="NCDHW")
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 16, 1)), jnp.float32)
+        (sdf_a, seg_a, feat_a), _ = m_cl.apply(params, state, x)
+        (sdf_b, seg_b, feat_b), _ = m_cf.apply(params, state, x)
+        np.testing.assert_allclose(np.asarray(seg_b), np.asarray(seg_a), atol=5e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sdf_b), np.asarray(sdf_a), atol=5e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(feat_b), np.asarray(feat_a), atol=1e-4, rtol=1e-4)
+        assert feat_b.shape == feat_a.shape  # channels-last externally
+
+    def test_ncdhw_train_mode(self, rng):
+        m_cf = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2, layout="NCDHW")
+        params, state = m_cf.init(jax.random.key(4))
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 16, 1)), jnp.float32)
+        (_, seg, feat), new_state = m_cf.apply(params, state, x, train=True, rng=jax.random.key(5))
+        assert bool(jnp.isfinite(seg).all()) and bool(jnp.isfinite(feat).all())
+        assert not np.allclose(np.asarray(state["projection"]["bn1"]["mean"]),
+                               np.asarray(new_state["projection"]["bn1"]["mean"]))

@@ -92,6 +92,11 @@ class TrainConfig:
     # backward pass (~+30% step FLOPs, ~forward-only peak memory) —
     # required for the full-size patch configs on 16GB-HBM chips
     remat: str = "none"
+    # internal model tensor layout. NCDHW keeps the W axis (not the
+    # C<128 axis) in the TPU lane dim: backward residuals avoid up to 8x
+    # lane padding, which is what lets the reference's batch-8 full-patch
+    # configs fit in 16GB HBM. Numerically identical to NDHWC.
+    layout: str = "NCDHW"
 
     def snapshot_path(self) -> str:
         """Hyperparameter-encoded run directory. Mirrors the reference's
@@ -187,6 +192,7 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=d.resume,
                    help='"" fresh, "auto" = best ckpt of this run dir, or a path')
     p.add_argument("--remat", type=str, default=d.remat, choices=["none", "full"])
+    p.add_argument("--layout", type=str, default=d.layout, choices=["NDHWC", "NCDHW"])
     # kept for launch-script compatibility; device selection is JAX's
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--gpu_ids", type=str, default="0")

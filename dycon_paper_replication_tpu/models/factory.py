@@ -57,6 +57,7 @@ def net_factory_3d(
         )
         return Model(cfg, init_unet3d, unet3d_apply)
     if net_type == "vnet":
+        # note: VNet currently implements NDHWC only; `layout` is ignored
         from .vnet import VNetConfig, init_vnet, vnet_apply
 
         cfg = VNetConfig(

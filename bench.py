@@ -44,7 +44,8 @@ def main() -> None:
         on_tpu = False
 
     model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           layout="NCDHW" if on_tpu else "NDHWC")
     params, state = model.init(jax.random.key(0))
 
     rng = np.random.default_rng(0)

@@ -57,7 +57,6 @@ def net_factory_3d(
         )
         return Model(cfg, init_unet3d, unet3d_apply)
     if net_type == "vnet":
-        # note: VNet currently implements NDHWC only; `layout` is ignored
         from .vnet import VNetConfig, init_vnet, vnet_apply
 
         cfg = VNetConfig(
@@ -65,6 +64,7 @@ def net_factory_3d(
             n_classes=class_num,
             scale_factor=int(scaler),
             compute_dtype=compute_dtype,
+            layout=layout,
         )
         return Model(cfg, init_vnet, vnet_apply)
     raise ValueError(f"unknown net_type: {net_type!r}")

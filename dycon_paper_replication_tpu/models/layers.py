@@ -142,9 +142,10 @@ def conv_transpose3d(
     *,
     stride: tuple[int, int, int] = (2, 2, 2),
     compute_dtype=None,
+    data_format: str = "NDHWC",
 ) -> jnp.ndarray:
-    """Transposed 3-D convolution (NDHWC); kernel 2^3 stride 2 doubles
-    every spatial dim (torch ConvTranspose3d(k=2, s=2) semantics)."""
+    """Transposed 3-D convolution; kernel 2^3 stride 2 doubles every
+    spatial dim (torch ConvTranspose3d(k=2, s=2) semantics)."""
     w = params["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -154,10 +155,11 @@ def conv_transpose3d(
         w,
         strides=stride,
         padding="VALID",
-        dimension_numbers=_CONV_DN,
+        dimension_numbers=(data_format, "DHWIO", data_format),
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
-    y = y + params["b"].astype(y.dtype)
+    b = params["b"].astype(y.dtype)
+    y = y + (b[:, None, None, None] if data_format == "NCDHW" else b)
     return y
 
 

@@ -43,6 +43,9 @@ class VNetConfig:
     proj_hidden: int = 512
     proj_out: int = 256
     compute_dtype: Any = jnp.float32
+    # internal layout; external interfaces stay channels-last (see
+    # models/unet3d.py layout note — NCDHW avoids C<128 lane padding)
+    layout: str = "NDHWC"
 
 
 def _block_init(key, n_stages: int, in_ch: int, out_ch: int) -> tuple[Params, Params]:
@@ -58,11 +61,14 @@ def _block_init(key, n_stages: int, in_ch: int, out_ch: int) -> tuple[Params, Pa
     return params, state
 
 
-def _block_apply(params, state, x, n_stages: int, *, train: bool, cd) -> tuple[jnp.ndarray, Params]:
+def _block_apply(params, state, x, n_stages: int, *, train: bool, cd, df="NDHWC") -> tuple[jnp.ndarray, Params]:
+    ca = 1 if df == "NCDHW" else -1
     new_state = {}
     for i in range(n_stages):
-        x = layers.conv3d(params[f"conv{i}"], x, compute_dtype=cd)
-        x, new_state[f"bn{i}"] = layers.batch_norm(params[f"bn{i}"], state[f"bn{i}"], x, train=train)
+        x = layers.conv3d(params[f"conv{i}"], x, compute_dtype=cd, data_format=df)
+        x, new_state[f"bn{i}"] = layers.batch_norm(
+            params[f"bn{i}"], state[f"bn{i}"], x, train=train, channel_axis=ca
+        )
         x = jax.nn.relu(x)
     return x, new_state
 
@@ -76,15 +82,18 @@ def _resize_init(key, in_ch, out_ch, transpose: bool) -> tuple[Params, Params]:
     return {"conv": conv, "bn": bn_p}, {"bn": bn_s}
 
 
-def _down_apply(params, state, x, *, train, cd):
-    x = layers.conv3d(params["conv"], x, stride=(2, 2, 2), padding="VALID", compute_dtype=cd)
-    x, bn_s = layers.batch_norm(params["bn"], state["bn"], x, train=train)
+def _down_apply(params, state, x, *, train, cd, df="NDHWC"):
+    ca = 1 if df == "NCDHW" else -1
+    x = layers.conv3d(params["conv"], x, stride=(2, 2, 2), padding="VALID",
+                      compute_dtype=cd, data_format=df)
+    x, bn_s = layers.batch_norm(params["bn"], state["bn"], x, train=train, channel_axis=ca)
     return jax.nn.relu(x), {"bn": bn_s}
 
 
-def _up_apply(params, state, x, *, train, cd):
-    x = layers.conv_transpose3d(params["conv"], x, compute_dtype=cd)
-    x, bn_s = layers.batch_norm(params["bn"], state["bn"], x, train=train)
+def _up_apply(params, state, x, *, train, cd, df="NDHWC"):
+    ca = 1 if df == "NCDHW" else -1
+    x = layers.conv_transpose3d(params["conv"], x, compute_dtype=cd, data_format=df)
+    x, bn_s = layers.batch_norm(params["bn"], state["bn"], x, train=train, channel_axis=ca)
     return jax.nn.relu(x), {"bn": bn_s}
 
 
@@ -140,51 +149,65 @@ def vnet_apply(
     """x: (B, D1, D2, D3, C), spatial dims divisible by 16.
     Returns ((sdf, seg_logits, features), new_state), outputs f32."""
     cd = cfg.compute_dtype
+    df = cfg.layout
+    cf = df == "NCDHW"
+    ca = 1 if cf else -1
+    spatial_axes = (2, 3, 4) if cf else (1, 2, 3)
     if train and rng is not None:
         d1_key, d2_key = jax.random.split(rng)
     else:
         d1_key = d2_key = None
 
+    def head(p, v):
+        y = layers.conv3d(p, v, compute_dtype=cd, data_format=df)
+        if cf:
+            y = jnp.moveaxis(y, 1, -1)
+        return y.astype(jnp.float32)
+
     new_state: Params = {}
     skips = []
-    h = x
+    h = jnp.moveaxis(x, -1, 1) if cf else x
     for lvl, stages in enumerate(_ENC_STAGES):
         h, new_state[f"enc{lvl}"] = _block_apply(
-            params[f"enc{lvl}"], state[f"enc{lvl}"], h, stages, train=train, cd=cd
+            params[f"enc{lvl}"], state[f"enc{lvl}"], h, stages, train=train, cd=cd, df=df
         )
         if lvl < 4:
             skips.append(h)
             h, new_state[f"down{lvl}"] = _down_apply(
-                params[f"down{lvl}"], state[f"down{lvl}"], h, train=train, cd=cd
+                params[f"down{lvl}"], state[f"down{lvl}"], h, train=train, cd=cd, df=df
             )
     center = layers.dropout(h, cfg.dropout_rate, d1_key, train)
 
     h = center
     for lvl in range(4):
-        h, new_state[f"up{lvl}"] = _up_apply(params[f"up{lvl}"], state[f"up{lvl}"], h, train=train, cd=cd)
+        h, new_state[f"up{lvl}"] = _up_apply(
+            params[f"up{lvl}"], state[f"up{lvl}"], h, train=train, cd=cd, df=df
+        )
         h = h + skips[3 - lvl].astype(h.dtype)  # additive skip (VNet.py:211-223)
         h, new_state[f"dec{lvl}"] = _block_apply(
-            params[f"dec{lvl}"], state[f"dec{lvl}"], h, _DEC_STAGES[lvl], train=train, cd=cd
+            params[f"dec{lvl}"], state[f"dec{lvl}"], h, _DEC_STAGES[lvl], train=train, cd=cd, df=df
         )
     h = layers.dropout(h, cfg.dropout_rate, d2_key, train)
 
-    seg = layers.conv3d(params["out_conv"], h, compute_dtype=cd).astype(jnp.float32)
-    sdf = jnp.tanh(layers.conv3d(params["out_conv_sdf"], h, compute_dtype=cd)).astype(jnp.float32)
+    seg = head(params["out_conv"], h)
+    sdf = jnp.tanh(head(params["out_conv_sdf"], h))
 
     if not with_projection:
         new_state["projection"] = state["projection"]
         return (sdf, seg, None), new_state
 
-    target = tuple(s * cfg.scale_factor for s in center.shape[1:4])
-    proj = trilinear_resize(center, target, align_corners=True)
-    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd)
+    target = tuple(center.shape[a] * cfg.scale_factor for a in spatial_axes)
+    proj = trilinear_resize(center, target, align_corners=True, spatial_axes=spatial_axes)
+    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd, data_format=df)
     proj, bn1_state = layers.batch_norm(
-        params["projection"]["bn1"], state["projection"]["bn1"], proj, train=train
+        params["projection"]["bn1"], state["projection"]["bn1"], proj, train=train, channel_axis=ca
     )
     proj = jax.nn.relu(proj)
-    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd)
+    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd, data_format=df)
     features, bn2_state = layers.batch_norm(
-        params["projection"]["bn2"], state["projection"]["bn2"], proj, train=train
+        params["projection"]["bn2"], state["projection"]["bn2"], proj, train=train, channel_axis=ca
     )
     new_state["projection"] = {"bn1": bn1_state, "bn2": bn2_state}
+    if cf:
+        features = jnp.moveaxis(features, 1, -1)
     return (sdf, seg, features.astype(jnp.float32)), new_state

@@ -142,3 +142,13 @@ class TestLayoutParity:
         assert bool(jnp.isfinite(seg).all()) and bool(jnp.isfinite(feat).all())
         assert not np.allclose(np.asarray(state["projection"]["bn1"]["mean"]),
                                np.asarray(new_state["projection"]["bn1"]["mean"]))
+
+    def test_vnet_ncdhw_matches_ndhwc(self, rng):
+        m_cl = net_factory_3d("vnet", in_chns=1, class_num=2, scaler=2)
+        params, state = m_cl.init(jax.random.key(6))
+        m_cf = net_factory_3d("vnet", in_chns=1, class_num=2, scaler=2, layout="NCDHW")
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 16, 1)), jnp.float32)
+        (sdf_a, seg_a, feat_a), _ = m_cl.apply(params, state, x)
+        (sdf_b, seg_b, feat_b), _ = m_cf.apply(params, state, x)
+        np.testing.assert_allclose(np.asarray(seg_b), np.asarray(seg_a), atol=5e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(feat_b), np.asarray(feat_a), atol=2e-4, rtol=1e-4)

@@ -230,3 +230,44 @@ class TestDeterminism:
         l1, l2 = run("a"), run("b")
         assert len(l1) == 2
         np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+class TestDataParallelExactness:
+    def test_sharded_step_matches_single_device(self, tmp_path):
+        """Pure DP is mathematically exact for every DyCON loss term
+        (SURVEY §5): the same batch on a 4-device mesh and on one device
+        must produce the same loss and the same updated params."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        cfg = _tiny_cfg(batch_size=4, labeled_bs=2)
+        model = net_factory_3d(cfg.model, in_chns=1, class_num=2, scaler=2)
+        opt = make_optimizer(lambda s: cfg.base_lr)
+        state = create_train_state(model, jax.random.key(0), opt)
+        step = jax.jit(build_train_step(model, opt, cfg))
+        rng = np.random.default_rng(0)
+        label = rng.integers(0, 2, size=(4, 16, 16, 16)).astype(np.int32)
+        batch = {
+            "image": jnp.asarray(label[..., None] * 0.5 + 0.1 * rng.normal(size=(4, 16, 16, 16, 1)), jnp.float32),
+            "label": jnp.asarray(label),
+        }
+        sc = StepScalars.make(5.0, 0.01, 1.3, 0.3)
+
+        # single device
+        s1, m1 = step(state, batch, jax.random.key(9), sc)
+
+        # 4-way data parallel (batch sharded, state replicated)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        bsh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        state_r = jax.device_put(state, rep)
+        batch_s = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+        key_r = jax.device_put(jax.random.key(9), rep)
+        s2, m2 = step(state_r, batch_s, key_r, sc)
+
+        np.testing.assert_allclose(
+            unpack_scalars(m1)["loss"], unpack_scalars(m2)["loss"], rtol=2e-5
+        )
+        a = np.asarray(jax.tree.leaves(s1.params)[0])
+        b = np.asarray(jax.tree.leaves(s2.params)[0])
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)

@@ -61,6 +61,18 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that re-checks `stop`: a consumer that breaks out
+            # mid-epoch (max_iterations reached) would otherwise leave this
+            # thread blocked forever in q.put holding device batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             for b, indices in enumerate(batches):
                 if stop.is_set():
@@ -69,8 +81,9 @@ class BatchLoader:
                 batch = self._assemble(indices, rng)
                 if self.device_put is not None:
                     batch = self.device_put(batch)
-                q.put(batch)
-            q.put(None)
+                if not put(batch):
+                    return
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -95,24 +95,36 @@ def test_all_case(
 
 class WholeVolumeInference:
     """Single-forward whole-volume prediction with pad-to-patch-size
-    (the ISLES validation protocol). Jitted per volume-shape bucket."""
+    (the ISLES validation protocol). Jitted per volume-shape bucket.
 
-    def __init__(self, model, patch_size: tuple[int, int, int], shape_bucket: int = 16):
+    `head` selects the model output that gets argmaxed:
+      * "sdf": the FIRST output (tanh SDF head) — what the reference's
+        in-training ISLES validation argmaxes (train_DyCON_ISLES22.py:364
+        `outputs, _, _ = model(...)`), so best-checkpoint selection is
+        driven by this (untrained!) head. Kept for faithfulness.
+      * "seg": the segmentation-logits head — what the reference's
+        OFFLINE ISLES test uses (test_ISLES22.py:87 `model(...)[1]`).
+    """
+
+    def __init__(self, model, patch_size: tuple[int, int, int], shape_bucket: int = 16,
+                 head: str = "seg"):
         self.model = model
         self.patch = tuple(patch_size)
         self.shape_bucket = shape_bucket
+        self.head = head
         self._compiled: dict = {}
 
     def _fn(self, shape):
         if shape not in self._compiled:
             model = self.model
+            head_idx = 0 if self.head == "sdf" else 1
 
             @jax.jit
             def run(params, state, vol):
-                (_, logits, _), _ = model.apply(
+                outputs, _ = model.apply(
                     params, state, vol[None], train=False, with_projection=False
                 )
-                return jnp.argmax(logits[0], axis=-1)
+                return jnp.argmax(outputs[head_idx][0], axis=-1)
 
             self._compiled[shape] = run
         return self._compiled[shape]

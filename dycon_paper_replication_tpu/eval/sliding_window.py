@@ -84,8 +84,12 @@ class SlidingWindowInference:
         self.transfer_dtype = transfer_dtype
         self._compiled: dict = {}
 
-    def _device_fn(self, raw_shape, pads, bucket_shape, n_chunks: int):
-        key = (raw_shape, pads, bucket_shape, n_chunks)
+    def _device_fn(self, bucket_shape, n_chunks: int):
+        # keyed ONLY on the bucketed shape + chunk count: volumes of any
+        # raw shape land on a handful of compiled programs (the reference
+        # dataset's per-case shape variety would otherwise recompile the
+        # whole scan+forward program per case)
+        key = (bucket_shape, n_chunks)
         if key in self._compiled:
             return self._compiled[key]
         patch = self.patch
@@ -93,17 +97,10 @@ class SlidingWindowInference:
         model = self.model
         vol_shape = bucket_shape
 
-        total_pads = [
-            (lo, hi + b - (s + lo + hi))
-            for (lo, hi), s, b in zip(pads, raw_shape, bucket_shape)
-        ]
-
         @jax.jit
         def run(params, state, raw, origins):
-            # raw: (*raw_shape,) in transfer dtype; origins: (n_chunks*B, 3)
-            # pad on device (centered up to patch + right-pad to bucket):
-            # cheaper than shipping the padded volume over the host link
-            volume = jnp.pad(raw.astype(jnp.float32), total_pads)[..., None]
+            # raw: (*bucket_shape,) in transfer dtype; origins: (n_chunks*B, 3)
+            volume = raw.astype(jnp.float32)[..., None]
             score = jnp.zeros(vol_shape, jnp.float32)
             cnt = jnp.zeros(vol_shape, jnp.float32)
 
@@ -136,15 +133,48 @@ class SlidingWindowInference:
             chunks = origins.reshape(n_chunks, B, 3)
             (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
             score = score / jnp.maximum(cnt, 1e-12)
-            # un-pad on device and compute the uint8 label there too: the
-            # common consumer (Dice validation / test metrics) only needs
-            # the thresholded map, and u8 is 4x cheaper to bring to host
-            sl = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, raw_shape))
-            score = score[sl]
+            # uint8 label computed on device: the common consumer (Dice
+            # validation / test metrics) only needs the thresholded map,
+            # and u8 is 4x cheaper to bring back to host
             return (score > 0.5).astype(jnp.uint8), score
 
         self._compiled[key] = run
         return run
+
+    def dispatch(self, params, state, image: np.ndarray):
+        """Enqueue H2D + the device program without blocking. Returns
+        ((label_dev, score_dev), unpad_slices): device arrays are
+        bucket-shaped; apply `unpad_slices` after fetching. Enables
+        volume-level pipelining (`map`)."""
+        image = np.asarray(image, self.transfer_dtype)
+        raw_shape = image.shape
+
+        # centered pad up to patch size (reference pad rule)
+        pads = tuple(
+            (max(p - size, 0) // 2, max(p - size, 0) - max(p - size, 0) // 2)
+            for size, p in zip(raw_shape, self.patch)
+        )
+        true_shape = tuple(s + lo + hi for s, (lo, hi) in zip(raw_shape, pads))
+        origins = compute_origins(true_shape, self.patch, self.stride_xy, self.stride_z)
+        k = len(origins)
+
+        # bucket: right-pad the volume to multiples of shape_bucket (the
+        # extra margin is never visited by any patch window) and the origin
+        # count to a multiple of patch_batch (repeated origins leave the
+        # overlap average untouched: (x+x)/(1+1) == x)
+        bucket_shape = tuple(
+            max(_round_up(s, self.shape_bucket), p) for s, p in zip(true_shape, self.patch)
+        )
+        padded = np.pad(
+            image,
+            [(lo, hi + b - t) for (lo, hi), t, b in zip(pads, true_shape, bucket_shape)],
+        )
+        k_bucket = _round_up(k, self.patch_batch)
+        origins_b = np.concatenate([origins, np.tile(origins[-1:], (k_bucket - k, 1))], axis=0)
+        run = self._device_fn(bucket_shape, k_bucket // self.patch_batch)
+        out = run(params, state, jnp.asarray(padded), jnp.asarray(origins_b))
+        unpad = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, raw_shape))
+        return out, unpad
 
     def __call__(
         self, params, state, image: np.ndarray, *, return_score: bool = True
@@ -152,58 +182,8 @@ class SlidingWindowInference:
         """Returns (label_map int64, score_map f32). With
         `return_score=False` the score stays on device (None returned) —
         saves a volume-sized D2H when only the label is consumed."""
-        image = np.asarray(image, self.transfer_dtype)
-        raw_shape = image.shape
-
-        # centered pad up to patch size (reference pad rule), performed on
-        # device; here only the amounts are computed
-        pads = tuple(
-            (max(p - size, 0) // 2, max(p - size, 0) - max(p - size, 0) // 2)
-            for size, p in zip(raw_shape, self.patch)
-        )
-        true_shape = tuple(s + lo + hi for s, (lo, hi) in zip(raw_shape, pads))
-
-        origins = compute_origins(true_shape, self.patch, self.stride_xy, self.stride_z)
-        k = len(origins)
-
-        # bucket: right-pad volume shape to multiples of shape_bucket and
-        # origin count to a multiple of patch_batch (repeated origins leave
-        # the overlap average untouched: (x+x)/(1+1) == x)
-        bucket_shape = tuple(
-            max(_round_up(s, self.shape_bucket), p) for s, p in zip(true_shape, self.patch)
-        )
-        k_bucket = _round_up(k, self.patch_batch)
-        reps = np.tile(origins[-1:], (k_bucket - k, 1))
-        origins_b = np.concatenate([origins, reps], axis=0)
-        n_chunks = k_bucket // self.patch_batch
-
-        run = self._device_fn(raw_shape, pads, bucket_shape, n_chunks)
-        label_d, score_d = run(params, state, jnp.asarray(image), jnp.asarray(origins_b))
-
-        label_map = np.asarray(label_d).astype(np.int64)
-        score = np.asarray(score_d) if return_score else None
-        return label_map, score
-
-    def dispatch(self, params, state, image: np.ndarray):
-        """Async variant of __call__: enqueues H2D + the device program and
-        returns the (label, score) DEVICE arrays without blocking. Fetch
-        with np.asarray when needed. Enables volume-level pipelining."""
-        image = np.asarray(image, self.transfer_dtype)
-        raw_shape = image.shape
-        pads = tuple(
-            (max(p - size, 0) // 2, max(p - size, 0) - max(p - size, 0) // 2)
-            for size, p in zip(raw_shape, self.patch)
-        )
-        true_shape = tuple(s + lo + hi for s, (lo, hi) in zip(raw_shape, pads))
-        origins = compute_origins(true_shape, self.patch, self.stride_xy, self.stride_z)
-        k = len(origins)
-        bucket_shape = tuple(
-            max(_round_up(s, self.shape_bucket), p) for s, p in zip(true_shape, self.patch)
-        )
-        k_bucket = _round_up(k, self.patch_batch)
-        origins_b = np.concatenate([origins, np.tile(origins[-1:], (k_bucket - k, 1))], axis=0)
-        run = self._device_fn(raw_shape, pads, bucket_shape, k_bucket // self.patch_batch)
-        return run(params, state, jnp.asarray(image), jnp.asarray(origins_b))
+        label, score, = self._finish((self.dispatch(params, state, image), ()), return_score)[:2]
+        return label, score
 
     def map(self, params, state, volumes, *, return_score: bool = False):
         """Pipelined inference over an iterable of (image, ...) items.
@@ -212,7 +192,7 @@ class SlidingWindowInference:
         volume's transfer + compute are enqueued before the current one's
         result is fetched, hiding host<->device latency behind compute.
         """
-        pending = None  # (device_result, rest)
+        pending = None  # ((device_result, unpad), rest)
         for item in volumes:
             image, *rest = item if isinstance(item, tuple) else (item,)
             dispatched = (self.dispatch(params, state, image), rest)
@@ -224,7 +204,7 @@ class SlidingWindowInference:
 
     @staticmethod
     def _finish(pending, return_score):
-        (label_d, score_d), rest = pending
-        label = np.asarray(label_d).astype(np.int64)
-        score = np.asarray(score_d) if return_score else None
+        ((label_d, score_d), unpad), rest = pending
+        label = np.asarray(label_d)[unpad].astype(np.int64)
+        score = np.asarray(score_d)[unpad] if return_score else None
         return (label, score, *rest)

@@ -92,10 +92,15 @@ def surface_distances(
 
 
 def hd95(pred: np.ndarray, gt: np.ndarray, voxelspacing=None) -> float:
-    """95th-percentile symmetric Hausdorff distance."""
+    """95th-percentile symmetric Hausdorff distance.
+
+    medpy convention: the percentile is taken over the CONCATENATION of
+    both directed surface-distance sets (not the max of per-direction
+    percentiles) — medpy.metric.binary.hd95 does
+    np.percentile(np.hstack((d1, d2)), 95)."""
     d1 = surface_distances(pred, gt, voxelspacing)
     d2 = surface_distances(gt, pred, voxelspacing)
-    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+    return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
 def asd(pred: np.ndarray, gt: np.ndarray, voxelspacing=None) -> float:

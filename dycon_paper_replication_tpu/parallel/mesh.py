@@ -14,12 +14,15 @@ replacement is SPMD data parallelism over a 1-D `jax.sharding.Mesh`:
   * multi-host runs use the same program over DCN after
     `jax.distributed.initialize()`.
 
-Batch-norm caveat: the projection head's BatchNorm computes per-shard
-statistics under DP (like the reference under DataParallel, which also
-used per-GPU stats). Padding rule: global batch must be divisible by
-the mesh size — `make_mesh` clamps to the largest divisor, mirroring
-the reference's batch-divisibility adjustment (train_DyCON_BraTS19.py
-:93-110).
+Batch-norm note: under jit+GSPMD the projection head's BatchNorm
+reduces over the FULL (sharded) batch — XLA inserts the cross-shard
+all-reduce — so multi-chip statistics equal single-chip statistics
+(this is what makes DP bit-exact here; see the DP-exactness test).
+This differs from the reference's DataParallel, which normalized each
+GPU's sub-batch independently. Padding rule: global batch must be
+divisible by the mesh size — `make_mesh` clamps to the largest
+divisor, mirroring the reference's batch-divisibility adjustment
+(train_DyCON_BraTS19.py:93-110).
 """
 
 from __future__ import annotations

@@ -131,10 +131,17 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
 
         # --- UnCL + plain consistency ---
         u_loss = dycon.uncl_loss(s_logits, jax.lax.stop_gradient(t_logits), scalars.beta)
+        # Faithfulness quirk: the reference feeds ALREADY-SOFTMAXED probs
+        # into softmax_mse_loss / softmax_kl_loss, which softmax them a
+        # second time (train_DyCON_Pancreas.py:255 + utils/losses.py:65-104).
+        # The double softmax flattens the distributions and shrinks the
+        # term ~5x vs plain MSE-on-probs — keep it, it defines training.
         if consistency_kind == "mse":
-            cons = losses.mse_consistency_loss(s_probs[labeled_bs:], t_probs[labeled_bs:])
+            cons = jnp.mean(
+                losses.softmax_mse_loss(s_probs[labeled_bs:], t_probs[labeled_bs:])
+            )
         else:
-            cons = losses.kl_consistency_loss(s_probs[labeled_bs:], t_probs[labeled_bs:])
+            cons = losses.softmax_kl_loss(s_probs[labeled_bs:], t_probs[labeled_bs:])
 
         total = (
             cfg.l_weight * (loss_ce + loss_dice)

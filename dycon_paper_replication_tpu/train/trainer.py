@@ -171,7 +171,10 @@ class Trainer:
     def _build_eval(self) -> None:
         cfg = self.cfg
         if cfg.dataset == "isles22":
-            self.whole_volume = WholeVolumeInference(self.model, cfg.patch_size)
+            # head="sdf": the reference's ISLES validation argmaxes the
+            # tanh SDF head (train_DyCON_ISLES22.py:364) — checkpoint
+            # selection must match it (offline test uses the seg head)
+            self.whole_volume = WholeVolumeInference(self.model, cfg.patch_size, head="sdf")
             self.sw = None
         else:
             self.whole_volume = None
@@ -182,15 +185,12 @@ class Trainer:
     def _val_volumes(self) -> Iterable:
         cfg = self.cfg
         if cfg.dataset == "pancreas":
-            ds = Pancreas(cfg.root_dir, split="test")
-            # reference validates on test1.list; fall back to test.list
+            # reference validates on test1.list and fails loudly when it is
+            # missing (test_3d_patch.py:119-121) — no silent substitution
             p = os.path.join(cfg.root_dir, "test1.list")
-            if os.path.exists(p):
-                with open(p) as f:
-                    names = [l.strip() for l in f if l.strip()]
-                paths = [os.path.join(cfg.root_dir, "Pancreas_data", n) for n in names]
-            else:
-                paths = ds.paths
+            with open(p) as f:
+                names = [l.strip() for l in f if l.strip()]
+            paths = [os.path.join(cfg.root_dir, "Pancreas_data", n) for n in names]
             return iter_h5_volumes(paths)
         if cfg.dataset == "brats19":
             with open(os.path.join(cfg.root_dir, "val.txt")) as f:
@@ -245,6 +245,14 @@ class Trainer:
                 # ONE host<->device round trip for all per-step scalars
                 v = dict(zip(SCALAR_METRICS, np.asarray(m["scalars"]).tolist()))
                 self.timer.stop(m["scalars"])
+                if v["skipped"]:
+                    # reference `continue`s BEFORE iter_num += 1
+                    # (train_DyCON_Pancreas.py:261-263): a NaN step advances
+                    # neither state.step nor the schedules/cadence
+                    self.log.info(
+                        "NaN or Inf found in loss at iteration %d — skipped", iter_num
+                    )
+                    continue
                 iter_num += 1
 
                 if iter_num % 200 == 0:
@@ -279,9 +287,6 @@ class Trainer:
                     iter_num, v["loss"], v["loss_ce"], v["loss_dice"],
                     v["u_loss"], v["f_loss"], v["train_dice"],
                 )
-                if v["skipped"]:
-                    self.log.info("NaN or Inf found in loss at iteration %d — skipped", iter_num)
-
                 if iter_num > 0 and iter_num % cfg.val_every == 0:
                     avg = self.validate()
                     if avg > self.best_performance:

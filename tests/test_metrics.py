@@ -36,7 +36,8 @@ class TestSurfaceMetrics:
         a, b = _random_blobs(rng)
         d1 = _brute_surface_distances(a, b)
         d2 = _brute_surface_distances(b, a)
-        want = max(np.percentile(d1, 95), np.percentile(d2, 95))
+        # medpy convention: percentile over the CONCATENATED distance sets
+        want = np.percentile(np.hstack((d1, d2)), 95)
         assert np.isclose(metrics.hd95(a, b), want, atol=1e-6)
 
     def test_asd_matches_bruteforce(self, rng):

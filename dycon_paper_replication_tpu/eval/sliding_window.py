@@ -84,12 +84,13 @@ class SlidingWindowInference:
         self.transfer_dtype = transfer_dtype
         self._compiled: dict = {}
 
-    def _device_fn(self, bucket_shape, n_chunks: int):
-        # keyed ONLY on the bucketed shape + chunk count: volumes of any
+    def _device_fn(self, raw_bucket_shape, bucket_shape, n_chunks: int):
+        # keyed ONLY on 32-quantized shapes + chunk count: volumes of any
         # raw shape land on a handful of compiled programs (the reference
         # dataset's per-case shape variety would otherwise recompile the
-        # whole scan+forward program per case)
-        key = (bucket_shape, n_chunks)
+        # whole scan+forward program per case). The centered patch-pad
+        # offset enters as a DYNAMIC operand, so it never splits the cache.
+        key = (raw_bucket_shape, bucket_shape, n_chunks)
         if key in self._compiled:
             return self._compiled[key]
         patch = self.patch
@@ -98,9 +99,15 @@ class SlidingWindowInference:
         vol_shape = bucket_shape
 
         @jax.jit
-        def run(params, state, raw, origins):
-            # raw: (*bucket_shape,) in transfer dtype; origins: (n_chunks*B, 3)
-            volume = raw.astype(jnp.float32)[..., None]
+        def run(params, state, raw, offsets, origins):
+            # raw: (*raw_bucket_shape,) transfer dtype; offsets: (3,) i32
+            # placement of the raw volume inside the padded canvas;
+            # origins: (n_chunks*B, 3)
+            volume = jax.lax.dynamic_update_slice(
+                jnp.zeros(vol_shape, jnp.float32),
+                raw.astype(jnp.float32),
+                (offsets[0], offsets[1], offsets[2]),
+            )[..., None]
             score = jnp.zeros(vol_shape, jnp.float32)
             cnt = jnp.zeros(vol_shape, jnp.float32)
 
@@ -133,9 +140,13 @@ class SlidingWindowInference:
             chunks = origins.reshape(n_chunks, B, 3)
             (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
             score = score / jnp.maximum(cnt, 1e-12)
-            # uint8 label computed on device: the common consumer (Dice
-            # validation / test metrics) only needs the thresholded map,
-            # and u8 is 4x cheaper to bring back to host
+            # un-pad on device (dynamic slice back to the raw-bucket
+            # window) and compute the uint8 label there too: the common
+            # consumer only needs the thresholded map, and u8 is 4x
+            # cheaper to bring back to host
+            score = jax.lax.dynamic_slice(
+                score, (offsets[0], offsets[1], offsets[2]), raw_bucket_shape
+            )
             return (score > 0.5).astype(jnp.uint8), score
 
         self._compiled[key] = run
@@ -158,22 +169,28 @@ class SlidingWindowInference:
         origins = compute_origins(true_shape, self.patch, self.stride_xy, self.stride_z)
         k = len(origins)
 
-        # bucket: right-pad the volume to multiples of shape_bucket (the
-        # extra margin is never visited by any patch window) and the origin
-        # count to a multiple of patch_batch (repeated origins leave the
-        # overlap average untouched: (x+x)/(1+1) == x)
+        # bucket every shape to multiples of shape_bucket so compiled
+        # programs are shared across raw volume shapes; extra margin is
+        # never visited by any patch window. The raw volume ships with
+        # only its own 32-alignment padding; the device places it at the
+        # centered-pad offset dynamically.
+        raw_bucket = tuple(_round_up(s, self.shape_bucket) for s in raw_shape)
         bucket_shape = tuple(
-            max(_round_up(s, self.shape_bucket), p) for s, p in zip(true_shape, self.patch)
+            max(_round_up(max(t, lo + rb), self.shape_bucket), p)
+            for t, (lo, _), rb, p in zip(true_shape, pads, raw_bucket, self.patch)
         )
-        padded = np.pad(
-            image,
-            [(lo, hi + b - t) for (lo, hi), t, b in zip(pads, true_shape, bucket_shape)],
-        )
+        raw_b = np.pad(image, [(0, rb - s) for s, rb in zip(raw_shape, raw_bucket)])
+        offsets = np.array([lo for lo, _ in pads], np.int32)
+
         k_bucket = _round_up(k, self.patch_batch)
         origins_b = np.concatenate([origins, np.tile(origins[-1:], (k_bucket - k, 1))], axis=0)
-        run = self._device_fn(bucket_shape, k_bucket // self.patch_batch)
-        out = run(params, state, jnp.asarray(padded), jnp.asarray(origins_b))
-        unpad = tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, raw_shape))
+        run = self._device_fn(raw_bucket, bucket_shape, k_bucket // self.patch_batch)
+        out = run(
+            params, state, jnp.asarray(raw_b), jnp.asarray(offsets), jnp.asarray(origins_b)
+        )
+        # device arrays are raw_bucket-shaped; only the 32-alignment
+        # margin remains to strip on host
+        unpad = tuple(slice(0, s) for s in raw_shape)
         return out, unpad
 
     def __call__(

@@ -76,3 +76,43 @@ class TestStitching:
         _, s1 = sw32(params, state, image)
         _, s2 = sw4(params, state, image)
         np.testing.assert_allclose(s1, s2, atol=2e-5)
+
+
+class TestCompileCache:
+    def test_shapes_share_bucketed_programs(self, sw_bundle, rng):
+        """Different raw volume shapes that round to the same buckets must
+        reuse ONE compiled program (recompilation is the dominant cost on
+        real deployments)."""
+        model, params, state = sw_bundle
+        sw = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2, shape_bucket=8)
+        for shape in ((17, 18, 16), (18, 17, 16), (19, 19, 16)):
+            image = rng.normal(size=shape).astype(np.float32)
+            label, _ = sw(params, state, image, return_score=False)
+            assert label.shape == shape
+        assert len(sw._compiled) == 1, list(sw._compiled)
+
+    def test_odd_shape_correct_vs_naive(self, sw_bundle, rng):
+        """Dynamic-offset placement must not shift the stitched result for
+        volumes needing centered patch padding (odd, sub-patch axes)."""
+        model, params, state = sw_bundle
+        patch = (16, 16, 16)
+        image = rng.normal(size=(21, 14, 16)).astype(np.float32)
+        sw = SlidingWindowInference(model, patch, 8, 8, patch_batch=2, shape_bucket=8)
+        label, score = sw(params, state, image)
+
+        # naive: pad centered, patch loop, unpad
+        pads = [(max(p - s, 0) // 2, max(p - s, 0) - max(p - s, 0) // 2)
+                for s, p in zip(image.shape, patch)]
+        padded = np.pad(image, pads)
+        origins = compute_origins(padded.shape, patch, 8, 8)
+        acc = np.zeros(padded.shape, np.float32)
+        cnt = np.zeros(padded.shape, np.float32)
+        fwd = jax.jit(lambda x: model.apply(params, state, x, with_projection=False)[0][1])
+        for o in origins:
+            sl = tuple(slice(s, s + p) for s, p in zip(o, patch))
+            logits = fwd(jnp.asarray(padded[sl][None, ..., None]))
+            prob = np.asarray(jax.nn.softmax(logits, axis=-1))[0, ..., 1]
+            acc[sl] += prob
+            cnt[sl] += 1
+        want = (acc / cnt)[tuple(slice(lo, lo + s) for (lo, _), s in zip(pads, image.shape))]
+        np.testing.assert_allclose(score, want, atol=2e-5)

@@ -165,6 +165,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--in_ch", type=int, default=d.in_ch)
     p.add_argument("--num_classes", type=int, default=d.num_classes)
     p.add_argument("--feature_scaler", type=int, default=d.feature_scaler)
+    p.add_argument("--use_aspp", type=int, default=int(d.use_aspp),
+                   help="ASPP on the bottleneck before the projection head")
     p.add_argument("--patch_size", type=int, nargs=3, default=list(d.patch_size))
     p.add_argument("--max_iterations", type=int, default=d.max_iterations)
     p.add_argument("--batch_size", type=int, default=d.batch_size)

@@ -136,3 +136,33 @@ class TestBatchLoader:
         assert batches1[0]["image"].shape == (4, 32, 32, 24, 1)
         assert batches1[0]["label"].dtype == np.int32
         np.testing.assert_array_equal(batches1[0]["image"], batches2[0]["image"])
+
+
+class TestRemainingTransforms:
+    def test_center_crop(self, rng):
+        from dycon_paper_replication_tpu.data.transforms import CenterCrop
+        img = rng.normal(size=(20, 18, 16)).astype(np.float32)
+        lab = rng.integers(0, 2, size=(20, 18, 16)).astype(np.uint8)
+        out = CenterCrop((8, 8, 8))({"image": img, "label": lab}, rng)
+        assert out["image"].shape == (8, 8, 8)
+        # centered: offset (20-8)//2=6, (18-8)//2=5, (16-8)//2=4
+        np.testing.assert_array_equal(out["image"], img[6:14, 5:13, 4:12])
+        np.testing.assert_array_equal(out["label"], lab[6:14, 5:13, 4:12])
+
+    def test_resize_shapes_and_label_integrality(self, rng):
+        from dycon_paper_replication_tpu.data.transforms import Resize
+        img = rng.uniform(size=(20, 18, 16)).astype(np.float32)
+        lab = (rng.uniform(size=(20, 18, 16)) > 0.7).astype(np.uint8)
+        out = Resize((10, 10, 8))({"image": img, "label": lab}, rng)
+        assert out["image"].shape == (10, 10, 8)
+        assert out["label"].shape == (10, 10, 8)
+        assert set(np.unique(out["label"])) <= {0, 1}
+
+    def test_create_onehot(self, rng):
+        from dycon_paper_replication_tpu.data.transforms import CreateOnehotLabel
+        lab = rng.integers(0, 3, size=(6, 6, 4)).astype(np.uint8)
+        out = CreateOnehotLabel(3)({"image": np.zeros((6, 6, 4), np.float32), "label": lab}, rng)
+        oh = out["onehot_label"]
+        assert oh.shape == (3, 6, 6, 4)
+        np.testing.assert_array_equal(np.argmax(oh, axis=0), lab)
+        np.testing.assert_array_equal(oh.sum(axis=0), np.ones_like(lab))

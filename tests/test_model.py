@@ -152,3 +152,16 @@ class TestLayoutParity:
         (sdf_b, seg_b, feat_b), _ = m_cf.apply(params, state, x)
         np.testing.assert_allclose(np.asarray(seg_b), np.asarray(seg_a), atol=5e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(feat_b), np.asarray(feat_a), atol=2e-4, rtol=1e-4)
+
+    def test_aspp_under_ncdhw(self, rng):
+        """ASPP stays channels-last internally; the NCDHW wrapper must
+        transpose around it without changing results."""
+        m_cl = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2, use_aspp=True)
+        params, state = m_cl.init(jax.random.key(8))
+        m_cf = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2,
+                              use_aspp=True, layout="NCDHW")
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 16, 1)), jnp.float32)
+        (_, seg_a, feat_a), _ = m_cl.apply(params, state, x)
+        (_, seg_b, feat_b), _ = m_cf.apply(params, state, x)
+        np.testing.assert_allclose(np.asarray(seg_b), np.asarray(seg_a), atol=5e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(feat_b), np.asarray(feat_a), atol=2e-4, rtol=1e-3)

@@ -70,3 +70,22 @@ class TestPad:
         assert y.shape == (1, 8, 8, 8, 2)
         # centered: floor on the leading side
         assert float(y[0, 0, 0, 2, 0]) == 0.0 and float(y[0, 1, 0, 2, 0]) == 1.0
+
+
+class TestUpsample2xClosedForm:
+    def test_matches_general_lerp(self, rng):
+        """The shift-based 2x path must equal the general gather lerp."""
+        import jax.numpy as jnp
+        from dycon_paper_replication_tpu.ops.resize import trilinear_resize, upsample2x
+        x = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)), jnp.float32)
+        want = trilinear_resize(x, (10, 12, 14), align_corners=False)
+        got = upsample2x(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_ncdhw_axes(self, rng):
+        import jax.numpy as jnp
+        from dycon_paper_replication_tpu.ops.resize import trilinear_resize, upsample2x
+        x = jnp.asarray(rng.normal(size=(1, 3, 5, 6, 7)), jnp.float32)
+        want = trilinear_resize(x, (10, 12, 14), align_corners=False, spatial_axes=(2, 3, 4))
+        got = upsample2x(x, spatial_axes=(2, 3, 4))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -9,10 +9,12 @@ patch; this framework runs the whole volume as one on-device program
 with batched patch forwards (bf16 matmuls, f32 accumulation).
 
 Baseline: the reference publishes no numbers (BASELINE.md), so
-`vs_baseline` is measured against an estimated 2.0 vols/sec for the
-reference's per-patch loop on A100 (49 sequential 96^3 U-Net forwards
-plus per-patch transfers at ~10 ms each). Replace with a measured value
-when a reference run exists.
+`vs_baseline` uses a MEASURED same-hardware baseline: the reference's
+exact per-patch loop (one f32 forward + H2D/D2H per patch,
+test_3d_patch.py:293-351) reproduced on this chip by
+scripts/bench_reference_loop.py — 0.0511 vols/sec on the v5e
+(2026-08-16). Same model, same chip, same protocol; only the execution
+strategy differs.
 
 Prints exactly one JSON line.
 """
@@ -25,7 +27,8 @@ import time
 import numpy as np
 
 
-A100_REFERENCE_VOLS_PER_SEC = 2.0  # estimated; see module docstring
+# Measured by scripts/bench_reference_loop.py on this chip (see docstring).
+REFERENCE_PROTOCOL_VOLS_PER_SEC = 0.0511
 
 
 def main() -> None:
@@ -71,7 +74,7 @@ def main() -> None:
         "metric": "brats19_sliding_window_inference",
         "value": round(vols_per_sec, 4),
         "unit": "vols/sec",
-        "vs_baseline": round(vols_per_sec / A100_REFERENCE_VOLS_PER_SEC, 3),
+        "vs_baseline": round(vols_per_sec / REFERENCE_PROTOCOL_VOLS_PER_SEC, 3),
     }))
 
 

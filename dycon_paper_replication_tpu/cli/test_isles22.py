@@ -33,7 +33,15 @@ def main(argv=None):
     p.add_argument("--patch_size", type=int, nargs=3, default=[96, 96, 64])
     p.add_argument("--snapshot_root", type=str, default="./runs")
     p.add_argument("--gpu_id", type=str, default="0")
+    p.add_argument("--compute_dtype", type=str, default="auto",
+                   choices=["auto", "float32", "bfloat16"])
+    p.add_argument("--layout", type=str, default="auto",
+                   choices=["auto", "NDHWC", "NCDHW"])
+    p.add_argument("--patch_batch", type=int, default=0)  # accepted for symmetry
     args = p.parse_args(argv)
+    from .test_pancreas import resolve_perf_flags
+
+    dt, layout, _, _ = resolve_perf_flags(args)
 
     cfg = make_config(
         "isles22", exp=args.exp, model=args.model, labelnum=args.labelnum,
@@ -43,7 +51,7 @@ def main(argv=None):
     )
     snapshot_path = cfg.snapshot_path()
     model = net_factory_3d(args.model, in_chns=args.in_ch, class_num=args.num_classes,
-                           scaler=args.feature_scaler)
+                           scaler=args.feature_scaler, compute_dtype=dt, layout=layout)
     template = create_train_state(model, jax.random.key(0), make_optimizer(lambda s: 0.0))
     ckpt_path = checkpoint.best_checkpoint_path(snapshot_path, args.model)
     state = checkpoint.restore_checkpoint(ckpt_path, template)

@@ -42,7 +42,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stride_z", type=int, default=4)
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--list_name", type=str, default="test1.list")
+    # performance knobs (reference test_Pancreas.py:67-70 runs the dense
+    # protocol one f32 patch at a time; these default to the same
+    # bf16 + NCDHW + batched-patch stack the bench/train paths use on
+    # TPU, and to f32/NDHWC on CPU so metric goldens are unchanged)
+    p.add_argument("--compute_dtype", type=str, default="auto",
+                   choices=["auto", "float32", "bfloat16"])
+    p.add_argument("--layout", type=str, default="auto",
+                   choices=["auto", "NDHWC", "NCDHW"])
+    p.add_argument("--patch_batch", type=int, default=0,
+                   help="patches per forward; 0 = auto (8 on TPU, 2 elsewhere)")
     return p
+
+
+def resolve_perf_flags(args):
+    """(compute_dtype, layout, patch_batch, transfer_dtype) resolved
+    against the actual backend: bf16+NCDHW+batch-8+f16-transfer on TPU,
+    f32+NDHWC+batch-2 elsewhere."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dt = {
+        "auto": jnp.bfloat16 if on_tpu else jnp.float32,
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+    }[args.compute_dtype]
+    layout = ("NCDHW" if on_tpu else "NDHWC") if args.layout == "auto" else args.layout
+    patch_batch = args.patch_batch or (8 if on_tpu else 2)
+    transfer = np.float16 if dt == jnp.bfloat16 else np.float32
+    return dt, layout, patch_batch, transfer
 
 
 def run_test(args, dataset: str, volume_iter) -> tuple:
@@ -56,14 +85,16 @@ def run_test(args, dataset: str, volume_iter) -> tuple:
         snapshot_root=args.snapshot_root,
     )
     snapshot_path = cfg.snapshot_path()
+    dt, layout, patch_batch, transfer = resolve_perf_flags(args)
     model = net_factory_3d(args.model, in_chns=args.in_ch, class_num=cfg.num_classes,
-                           scaler=args.feature_scaler)
+                           scaler=args.feature_scaler, compute_dtype=dt, layout=layout)
     template = create_train_state(model, jax.random.key(0), make_optimizer(lambda s: 0.0))
     ckpt_path = checkpoint.best_checkpoint_path(snapshot_path, args.model)
     state = checkpoint.restore_checkpoint(ckpt_path, template)
     print(f"init weight from {ckpt_path}")
 
-    sw = SlidingWindowInference(model, tuple(args.patch_size), args.stride_xy, args.stride_z)
+    sw = SlidingWindowInference(model, tuple(args.patch_size), args.stride_xy, args.stride_z,
+                                patch_batch=patch_batch, transfer_dtype=transfer)
     save_path = os.path.join(snapshot_path, f"{args.exp}_predictions")
     avg = test_all_case(
         sw, state.params, state.model_state, volume_iter,

@@ -25,7 +25,11 @@ class TrainConfig:
     dataset: str = "pancreas"  # pancreas | brats19 | isles22
     snapshot_root: str = "./runs"
 
-    # reproducibility
+    # reproducibility. deterministic=1 (default): every RNG stream
+    # derives from `seed` and reruns are bit-identical. deterministic=0
+    # mirrors the reference's cudnn.benchmark mode (non-reproducible
+    # runs, train_DyCON_Pancreas.py:86-96): the trainer draws the seed
+    # from OS entropy and logs it.
     seed: int = 1337
     deterministic: int = 1
 

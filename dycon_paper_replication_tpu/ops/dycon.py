@@ -165,6 +165,7 @@ def fecl_loss_chunked(
     feat: jnp.ndarray,
     mask: jnp.ndarray,
     teacher_feat: jnp.ndarray | None = None,
+    gambling_uncertainty: jnp.ndarray | None = None,
     *,
     temperature: float = 0.6,
     gamma: float = 2.0,
@@ -190,7 +191,7 @@ def fecl_loss_chunked(
     if N % row_chunk:
         # fall back: correctness over memory for odd sizes
         return fecl_loss(
-            feat, mask, teacher_feat,
+            feat, mask, teacher_feat, gambling_uncertainty,
             temperature=temperature, gamma=gamma, use_focal=use_focal,
             pos_thresh=pos_thresh, neg_thresh=neg_thresh, lambda_cross=lambda_cross,
         )
@@ -198,11 +199,12 @@ def fecl_loss_chunked(
     n_tiles = N // T
     dtype = feat.dtype
 
-    def per_item(feat_b, mask_b, tfeat_b):
+    def per_item(feat_b, mask_b, tfeat_b=None, gamb_b=None):
         row_ids = jnp.arange(N)
         feat_tiles = feat_b.reshape(n_tiles, T, D)
         id_tiles = row_ids.reshape(n_tiles, T)
         mask_tiles = mask_b.reshape(n_tiles, T)
+        gamb_tiles = None if gamb_b is None else gamb_b.reshape(n_tiles, T)
 
         # ---- pass 1: per-column max of the diag-zeroed logits ----
         def colmax_body(carry, xs):
@@ -221,7 +223,7 @@ def fecl_loss_chunked(
 
         # ---- pass 2: per-row-tile loss terms ----
         @jax.checkpoint
-        def tile_terms(f_t, ids, m_t):
+        def tile_terms(f_t, ids, m_t, g_t):
             same = (m_t[:, None] == mask_b[None, :]).astype(dtype)  # (T, N)
             diff = 1.0 - same
             off_diag = (ids[:, None] != row_ids[None, :]).astype(dtype)
@@ -234,7 +236,8 @@ def fecl_loss_chunked(
             neg_sum = jnp.sum(e_t * diff, axis=-1, keepdims=True)
             division = e_t / (e_t + neg_sum + _EPS_LOG)
             loss_mat = -jnp.log(division + _EPS_LOG) * same * off_diag
-            if use_focal:
+            pos_count = jnp.sum(same, axis=-1) - 1.0
+            if use_focal and g_t is None:
                 hard_pos = (same > 0) & (division < pos_thresh)
                 hard_neg = (diff > 0) & (division > neg_thresh)
                 focal = jnp.where(
@@ -245,10 +248,17 @@ def fecl_loss_chunked(
                 row_sum = jnp.sum(loss_mat * focal, axis=-1)
             else:
                 row_sum = jnp.sum(loss_mat, axis=-1)
-            pos_count = jnp.sum(same, axis=-1) - 1.0
-            student = jnp.sum(
-                jnp.where(pos_count > 0, row_sum / jnp.maximum(pos_count, 1.0), 0.0)
+            row_mean = jnp.where(
+                pos_count > 0, row_sum / jnp.maximum(pos_count, 1.0), 0.0
             )
+            if g_t is not None:
+                # gambling weighting replaces the focal/unfocal student
+                # term with gambling-weighted UNFOCAL row means, exactly
+                # as the dense path (and the reference, which discards
+                # the focal loss when gambling weights are given,
+                # dycon_losses.py:204-208)
+                row_mean = row_mean * g_t
+            student = jnp.sum(row_mean)
             if tfeat_b is None:
                 return student, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
             cs = jnp.einsum("td,nd->tn", f_t, tfeat_b, preferred_element_type=jnp.float32)
@@ -257,22 +267,27 @@ def fecl_loss_chunked(
             return student, cross_sum, jnp.sum(hard)
 
         def scan_body(carry, xs):
-            f_t, ids, m_t = xs
-            s, cs, cc = tile_terms(f_t, ids, m_t)
+            s, cs, cc = tile_terms(xs["f"], xs["ids"], xs["m"], xs.get("g"))
             return (carry[0] + s, carry[1] + cs, carry[2] + cc), None
 
+        xs = {"f": feat_tiles, "ids": id_tiles, "m": mask_tiles}
+        if gamb_tiles is not None:
+            xs["g"] = gamb_tiles
         (student_sum, cross_sum, cross_cnt), _ = jax.lax.scan(
-            scan_body,
-            (jnp.zeros((), jnp.float32),) * 3,
-            (feat_tiles, id_tiles, mask_tiles),
+            scan_body, (jnp.zeros((), jnp.float32),) * 3, xs
         )
         return student_sum, cross_sum, cross_cnt
 
-    tfeat_arg = teacher_feat if teacher_feat is not None else None
-    if tfeat_arg is None:
-        s, cs, cc = jax.vmap(lambda f, m: per_item(f, m, None))(feat, mask)
-    else:
-        s, cs, cc = jax.vmap(per_item)(feat, mask, tfeat_arg)
+    # vmap over a dict pytree so the optional teacher / gambling operands
+    # map only when present (None stays a static Python branch)
+    mapped = {"f": feat, "m": mask}
+    if teacher_feat is not None:
+        mapped["t"] = teacher_feat
+    if gambling_uncertainty is not None:
+        mapped["g"] = gambling_uncertainty
+    s, cs, cc = jax.vmap(
+        lambda d: per_item(d["f"], d["m"], d.get("t"), d.get("g"))
+    )(mapped)
 
     loss_student = jnp.sum(s) / (B * N)  # mean over all (b, row) pairs
     if teacher_feat is None:

@@ -19,10 +19,12 @@ reduces over the FULL (sharded) batch — XLA inserts the cross-shard
 all-reduce — so multi-chip statistics equal single-chip statistics
 (this is what makes DP bit-exact here; see the DP-exactness test).
 This differs from the reference's DataParallel, which normalized each
-GPU's sub-batch independently. Padding rule: global batch must be
-divisible by the mesh size — `make_mesh` clamps to the largest
-divisor, mirroring the reference's batch-divisibility adjustment
-(train_DyCON_BraTS19.py:93-110).
+GPU's sub-batch independently. Divisibility: the trainer mirrors the
+reference's adjustment (train_DyCON_BraTS19.py:93-110) — it keeps the
+mesh and rounds batch_size / labeled_bs DOWN to multiples of the mesh
+size, and linearly scales the learning rate (Trainer.
+_apply_multi_device_rules). `make_mesh`'s optional batch_size clamp is
+the opposite fallback for callers that must keep the batch fixed.
 """
 
 from __future__ import annotations

@@ -72,16 +72,37 @@ def _compute_dtype(cfg: TrainConfig):
 
 class Trainer:
     def __init__(self, cfg: TrainConfig):
+        if cfg.data_parallel > 1:
+            # explicit device count: mirror the reference's DataParallel
+            # semantics — keep the devices, adjust batches, scale LR
+            self.mesh = make_mesh(cfg.data_parallel)
+            cfg, multi_device_notes = self._apply_multi_device_rules(cfg, self.mesh.size)
+        else:
+            # auto (data_parallel=0): GSPMD over all devices; clamp the
+            # mesh to divide the batch instead of touching the config
+            self.mesh = make_mesh(cfg.data_parallel, cfg.batch_size)
+            multi_device_notes = []
+        if not cfg.deterministic:
+            # the reference's deterministic=0 turns on cudnn.benchmark,
+            # making runs non-reproducible in exchange for speed
+            # (train_DyCON_Pancreas.py:86-96); the honest JAX analogue of
+            # "this run is not reproducible" is an entropy-drawn seed
+            seed = int.from_bytes(os.urandom(4), "little")
+            multi_device_notes.append(
+                f"deterministic=0: seed drawn from OS entropy -> {seed}"
+            )
+            cfg = dataclasses.replace(cfg, seed=seed)
         self.cfg = cfg
         self.snapshot_path = cfg.snapshot_path()
         os.makedirs(self.snapshot_path, exist_ok=True)
         self.log = ExperimentLogger(self.snapshot_path)
+        for note in multi_device_notes:
+            self.log.info(note)
         self.log.info(str(dataclasses.asdict(cfg)))
         with open(os.path.join(self.snapshot_path, "config.json"), "w") as f:
             json.dump({k: str(v) for k, v in dataclasses.asdict(cfg).items()}, f, indent=2)
         self._snapshot_code()
 
-        self.mesh = make_mesh(cfg.data_parallel, cfg.batch_size)
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicate(self.mesh)
 
@@ -119,6 +140,41 @@ class Trainer:
         self.timer = StepTimer()
         self.best_performance = 0.0
         self.hd95_every = max(cfg.val_every // 4, 1)
+
+    @staticmethod
+    def _apply_multi_device_rules(
+        cfg: TrainConfig, n_dev: int
+    ) -> tuple[TrainConfig, list[str]]:
+        """The reference's DataParallel adjustments
+        (train_DyCON_BraTS19.py:93-110) under SPMD data parallelism:
+        round batch_size and labeled_bs DOWN to multiples of the mesh
+        size, and linearly scale the learning rate by the mesh size.
+        Rounding either batch to zero is an error here (the reference
+        would silently train with an empty labeled slice)."""
+        notes: list[str] = []
+        if n_dev <= 1:
+            return cfg, notes
+        bs = (cfg.batch_size // n_dev) * n_dev
+        lbs = (cfg.labeled_bs // n_dev) * n_dev
+        if bs == 0 or lbs == 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} / labeled_bs={cfg.labeled_bs} "
+                f"round to zero over {n_dev} devices; shrink data_parallel "
+                "or grow the batch"
+            )
+        if bs != cfg.batch_size:
+            notes.append(
+                f"Adjusted total batch size from {cfg.batch_size} to {bs} "
+                f"to be divisible by {n_dev} devices"
+            )
+        if lbs != cfg.labeled_bs:
+            notes.append(
+                f"Adjusted labeled batch size from {cfg.labeled_bs} to {lbs} "
+                f"to be divisible by {n_dev} devices"
+            )
+        lr = cfg.base_lr * n_dev
+        notes.append(f"Scaled learning rate to {lr} for {n_dev} devices")
+        return dataclasses.replace(cfg, batch_size=bs, labeled_bs=lbs, base_lr=lr), notes
 
     def _snapshot_code(self) -> None:
         """Copy the framework source next to the checkpoints so every run
@@ -309,8 +365,8 @@ class Trainer:
                         "Iteration %d : Dice: %f Best_dice: %f",
                         iter_num, float(avg), self.best_performance,
                     )
-                    for tag, v in self.timer.stats().items():
-                        self.log.scalar(f"perf/{tag}", v, iter_num)
+                    for tag, tval in self.timer.stats().items():
+                        self.log.scalar(f"perf/{tag}", tval, iter_num)
 
                 if iter_num % cfg.save_every == 0:
                     checkpoint.save_checkpoint(

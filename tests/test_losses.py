@@ -218,6 +218,24 @@ class TestFeCLChunked:
         g_chunk = jax.grad(lambda x: dycon.fecl_loss_chunked(x, m, None, row_chunk=8, **kw))(f)
         np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_dense), rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("use_teacher", [False, True])
+    def test_gambling_matches_dense(self, rng, use_teacher):
+        # non-None gambling_uncertainty replaces the focal student term
+        # with gambling-weighted unfocal row means in BOTH paths
+        B, N, D = 2, 64, 16
+        feat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        tfeat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        mask = torch.tensor(rng.integers(0, 2, size=(B, N)).astype(np.float32))
+        gamb = jnp.asarray(rng.uniform(0.1, 1.0, size=(B, N)).astype(np.float32))
+        kw = dict(temperature=0.6, gamma=2.0, use_focal=True, pos_thresh=1.4, neg_thresh=0.35)
+        f, m = jnp.asarray(feat.numpy()), jnp.asarray(mask.numpy())
+        t = jnp.asarray(tfeat.numpy()) if use_teacher else None
+        dense = dycon.fecl_loss(f, m, t, gamb, **kw)
+        chunked = dycon.fecl_loss_chunked(f, m, t, gamb, row_chunk=16, **kw)
+        assert np.isclose(chunked, dense, rtol=1e-5, atol=1e-5), (chunked, dense)
+        # and gambling actually changes the value vs the focal path
+        assert not np.isclose(dense, dycon.fecl_loss(f, m, t, None, **kw))
+
     def test_indivisible_falls_back(self, rng):
         feat = TF.normalize(torch.tensor(rng.normal(size=(1, 10, 8)).astype(np.float32)), dim=-1)
         mask = torch.tensor(rng.integers(0, 2, size=(1, 10)).astype(np.float32))

@@ -271,3 +271,67 @@ class TestDataParallelExactness:
         a = np.asarray(jax.tree.leaves(s1.params)[0])
         b = np.asarray(jax.tree.leaves(s2.params)[0])
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+
+class TestMultiDeviceTrainerRules:
+    """The reference's DataParallel adjustments
+    (train_DyCON_BraTS19.py:93-110) mirrored by
+    Trainer._apply_multi_device_rules."""
+
+    def test_rounds_batches_and_scales_lr(self):
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(batch_size=10, labeled_bs=5, base_lr=0.01)
+        out, notes = Trainer._apply_multi_device_rules(cfg, 4)
+        assert out.batch_size == 8
+        assert out.labeled_bs == 4
+        assert out.base_lr == pytest.approx(0.04)
+        assert len(notes) == 3  # two adjustments + the LR scaling line
+
+    def test_single_device_is_identity(self):
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(batch_size=10, labeled_bs=5, base_lr=0.01)
+        out, notes = Trainer._apply_multi_device_rules(cfg, 1)
+        assert out is cfg and notes == []
+
+    def test_zero_rounding_raises(self):
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(batch_size=8, labeled_bs=4)
+        with pytest.raises(ValueError, match="round to zero"):
+            Trainer._apply_multi_device_rules(cfg, 8)  # labeled_bs 4 // 8 -> 0
+
+    def test_labeled_prefix_survives_sharding(self):
+        """Labeled samples occupy batch[:labeled_bs] globally; under a
+        4-device batch sharding the jitted global view keeps that
+        contract (all loss slicing relies on it, SURVEY §2 A9)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from dycon_paper_replication_tpu.data.samplers import TwoStreamBatchSampler
+
+        n_labeled, n_total, bs, labeled_bs = 4, 16, 8, 4
+        sampler = TwoStreamBatchSampler(
+            range(n_labeled), range(n_labeled, n_total), bs, bs - labeled_bs, seed=0
+        )
+        batch_idx = next(iter(sampler))
+        assert all(i < n_labeled for i in batch_idx[:labeled_bs])
+        assert all(i >= n_labeled for i in batch_idx[labeled_bs:])
+
+        # shard a batch keyed by those indices over 4 devices
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        ids = jnp.asarray(np.array(batch_idx, np.int32))
+        ids_sharded = jax.device_put(ids, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        def labeled_slice(x):
+            return x[:labeled_bs]
+
+        got = np.asarray(labeled_slice(ids_sharded))
+        assert (got < n_labeled).all()
+        np.testing.assert_array_equal(got, np.array(batch_idx[:labeled_bs]))
+        # with labeled_bs == 2 shards' worth, devices 0-1 hold only
+        # labeled samples: per-device addressable data is the contiguous
+        # global chunk
+        shard0 = np.asarray(ids_sharded.addressable_shards[0].data)
+        assert (shard0 < n_labeled).all()

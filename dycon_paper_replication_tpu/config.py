@@ -71,6 +71,10 @@ class TrainConfig:
     # FeCL row-chunk size: 0 = dense (B,N,N) matrices; >0 = flash-style
     # chunked evaluation, O(B*chunk*N) memory (use for large feature grids)
     fecl_chunk: int = 0
+    # chunked-FeCL backward: "fused" = analytic custom-VJP (one backward
+    # tile pass, ops/fecl_fused.py); "chunked" = jax.checkpoint recompute.
+    # Only consulted when fecl_chunk > 0.
+    fecl_impl: str = "fused"
 
     # dataset-behavior switches (the ISLES trainer deltas)
     teacher_train_mode: bool = True  # BraTS/Pancreas run teacher w/ dropout; ISLES eval
@@ -198,7 +202,11 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=d.resume,
                    help='"" fresh, "auto" = best ckpt of this run dir, or a path')
     p.add_argument("--remat", type=str, default=d.remat, choices=["none", "full"])
-    p.add_argument("--layout", type=str, default=d.layout, choices=["NDHWC", "NCDHW"])
+    p.add_argument("--layout", type=str, default=d.layout,
+                   choices=["NDHWC", "NCDHW", "folded"])
+    p.add_argument("--fecl_chunk", type=int, default=d.fecl_chunk)
+    p.add_argument("--fecl_impl", type=str, default=d.fecl_impl,
+                   choices=["fused", "chunked"])
     # kept for launch-script compatibility; device selection is JAX's
     p.add_argument("--gpu_id", type=str, default="0")
     p.add_argument("--gpu_ids", type=str, default="0")

@@ -57,6 +57,8 @@ def net_factory_3d(
         )
         return Model(cfg, init_unet3d, unet3d_apply)
     if net_type == "vnet":
+        if layout == "folded":
+            raise ValueError("folded layout is only supported by unet_3D")
         from .vnet import VNetConfig, init_vnet, vnet_apply
 
         cfg = VNetConfig(

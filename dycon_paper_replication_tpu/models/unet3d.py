@@ -123,6 +123,56 @@ def init_unet3d(key: jax.Array, cfg: UNet3DConfig) -> tuple[Params, Params]:
     return params, state
 
 
+def projection_head(
+    params: Params,
+    state: Params,
+    center: jnp.ndarray,
+    cfg: UNet3DConfig,
+    *,
+    train: bool,
+    aspp_key: jax.Array | None,
+) -> tuple[jnp.ndarray, Params]:
+    """ASPP (optional) + corner-aligned upsample + conv-BN projection.
+
+    `center` is in cfg.layout format; returns (features f32 channels-last,
+    state updates dict with 'projection' and optionally 'aspp')."""
+    cd = cfg.compute_dtype
+    cf = cfg.layout == "NCDHW"
+    ca = 1 if cf else -1
+    spatial_axes = (2, 3, 4) if cf else (1, 2, 3)
+    updates: Params = {}
+
+    proj_in = center
+    if cfg.use_aspp:
+        if cf:
+            proj_in = jnp.moveaxis(proj_in, 1, -1)
+        proj_in, updates["aspp"] = aspp3d_apply(
+            params["aspp"], state["aspp"], proj_in, train=train, rng=aspp_key
+        )
+        if cf:
+            proj_in = jnp.moveaxis(proj_in, -1, 1)
+
+    target = tuple(proj_in.shape[a] * cfg.scale_factor for a in spatial_axes)
+    proj = trilinear_resize(proj_in, target, align_corners=True, spatial_axes=spatial_axes)
+    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd,
+                         data_format=cfg.layout)
+    proj, bn1_state = layers.batch_norm(
+        params["projection"]["bn1"], state["projection"]["bn1"], proj,
+        train=train, channel_axis=ca,
+    )
+    proj = jax.nn.relu(proj)
+    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd,
+                         data_format=cfg.layout)
+    features, bn2_state = layers.batch_norm(
+        params["projection"]["bn2"], state["projection"]["bn2"], proj,
+        train=train, channel_axis=ca,
+    )
+    updates["projection"] = {"bn1": bn1_state, "bn2": bn2_state}
+    if cf:
+        features = jnp.moveaxis(features, 1, -1)
+    return features.astype(jnp.float32), updates
+
+
 def unet3d_apply(
     params: Params,
     state: Params,
@@ -141,6 +191,12 @@ def unet3d_apply(
     `with_projection=False` skips the contrastive head (inference path —
     sliding-window eval only consumes seg_logits); features is then None.
     """
+    if cfg.layout == "folded":
+        from .unet3d_folded import unet3d_apply_folded
+
+        return unet3d_apply_folded(
+            params, state, x, cfg, train=train, rng=rng, with_projection=with_projection
+        )
     cd = cfg.compute_dtype
     cf = cfg.layout == "NCDHW"
     ca = 1 if cf else -1
@@ -178,38 +234,14 @@ def unet3d_apply(
         seg = head_conv(params["out_conv2"], h)
         return (sdf, seg, None), new_state
 
-    proj_in = center
-    if cfg.use_aspp:
-        if cf:
-            proj_in = jnp.moveaxis(proj_in, 1, -1)
-        proj_in, new_state["aspp"] = aspp3d_apply(
-            params["aspp"], state["aspp"], proj_in, train=train, rng=aspp_key
-        )
-        if cf:
-            proj_in = jnp.moveaxis(proj_in, -1, 1)
-
-    target = tuple(proj_in.shape[a] * cfg.scale_factor for a in spatial_axes)
-    proj = trilinear_resize(proj_in, target, align_corners=True, spatial_axes=spatial_axes)
-    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd,
-                         data_format=cfg.layout)
-    proj, bn1_state = layers.batch_norm(
-        params["projection"]["bn1"], state["projection"]["bn1"], proj,
-        train=train, channel_axis=ca,
+    features, updates = projection_head(
+        params, state, center, cfg, train=train, aspp_key=aspp_key
     )
-    proj = jax.nn.relu(proj)
-    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd,
-                         data_format=cfg.layout)
-    features, bn2_state = layers.batch_norm(
-        params["projection"]["bn2"], state["projection"]["bn2"], proj,
-        train=train, channel_axis=ca,
-    )
-    new_state["projection"] = {"bn1": bn1_state, "bn2": bn2_state}
-    if cf:
-        features = jnp.moveaxis(features, 1, -1)
+    new_state.update(updates)
 
     sdf = jnp.tanh(head_conv(params["final"], h))
     seg = head_conv(params["out_conv2"], h)
-    return (sdf, seg, features.astype(jnp.float32)), new_state
+    return (sdf, seg, features), new_state
 
 
 def param_count(params: Params) -> int:

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..config import TrainConfig
 from ..ops import dycon, losses
+from ..ops.fecl_fused import fecl_loss_fused
 from ..ops.resize import avg_pool_nonoverlap
 from .state import TrainState, ema_update
 
@@ -123,9 +124,18 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         )
         teacher_emb = jax.lax.stop_gradient(ema_emb) if cfg.use_teacher_loss else None
         if cfg.fecl_chunk > 0:
-            f_loss = dycon.fecl_loss_chunked(
-                stud_emb, mask, teacher_emb, row_chunk=cfg.fecl_chunk, **fecl_kwargs
-            )
+            if cfg.fecl_impl == "fused":
+                # analytic custom-VJP backward: one tile pass instead of
+                # jax.checkpoint's full forward recompute. Valid here
+                # because teacher_emb is stop-gradient'ed and mask is
+                # binary (both required by fecl_loss_fused).
+                f_loss = fecl_loss_fused(
+                    stud_emb, mask, teacher_emb, row_chunk=cfg.fecl_chunk, **fecl_kwargs
+                )
+            else:
+                f_loss = dycon.fecl_loss_chunked(
+                    stud_emb, mask, teacher_emb, row_chunk=cfg.fecl_chunk, **fecl_kwargs
+                )
         else:
             f_loss = dycon.fecl_loss(stud_emb, mask, teacher_emb, **fecl_kwargs)
 

@@ -29,7 +29,7 @@ CONFIGS = {
 }
 
 
-def bench_one(dataset: str, iters: int = 5) -> dict:
+def bench_one(dataset: str, iters: int = 5, **overrides) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +42,8 @@ def bench_one(dataset: str, iters: int = 5) -> dict:
         unpack_scalars,
     )
 
-    cfg = make_config(dataset, compute_dtype="bfloat16", remat="full", **CONFIGS[dataset])
+    cfg = make_config(dataset, compute_dtype="bfloat16", remat="full",
+                      **{**CONFIGS[dataset], **overrides})
     model = net_factory_3d(
         cfg.model, in_chns=cfg.in_ch, class_num=cfg.num_classes,
         scaler=cfg.feature_scaler, compute_dtype=jnp.bfloat16, layout=cfg.layout,
@@ -73,6 +74,7 @@ def bench_one(dataset: str, iters: int = 5) -> dict:
         "unit": "ms/step",
         "batch_size": bs,
         "patch": list(ps),
+        "layout": cfg.layout,
         "loss": round(v["loss"], 4),
     }
 
@@ -81,9 +83,17 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="*", default=list(CONFIGS))
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--layout", type=str, default=None,
+                   choices=["NDHWC", "NCDHW", "folded"])
+    p.add_argument("--fecl_impl", type=str, default=None,
+                   choices=["fused", "chunked"])
+    p.add_argument("--batch_size", type=int, default=None)
     args = p.parse_args(argv)
+    overrides = {k: v for k, v in
+                 [("layout", args.layout), ("fecl_impl", args.fecl_impl),
+                  ("batch_size", args.batch_size)] if v is not None}
     for name in args.configs:
-        print(json.dumps(bench_one(name, args.iters)), flush=True)
+        print(json.dumps(bench_one(name, args.iters, **overrides)), flush=True)
 
 
 if __name__ == "__main__":

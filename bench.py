@@ -46,9 +46,12 @@ def main() -> None:
     except Exception:
         on_tpu = False
 
+    # folded = fold-2 space-to-depth execution with the packed
+    # sliding-window pipeline (fold volume once, folded gather/forward/
+    # scatter, unfold once) — see ops/folding.py, eval/sliding_window.py
     model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2,
                            compute_dtype=compute_dtype,
-                           layout="NCDHW" if on_tpu else "NDHWC")
+                           layout="folded" if on_tpu else "NDHWC")
     params, state = model.init(jax.random.key(0))
 
     rng = np.random.default_rng(0)

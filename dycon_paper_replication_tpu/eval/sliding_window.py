@@ -84,13 +84,13 @@ class SlidingWindowInference:
         self.transfer_dtype = transfer_dtype
         self._compiled: dict = {}
 
-    def _device_fn(self, raw_bucket_shape, bucket_shape, n_chunks: int):
+    def _device_fn(self, raw_bucket_shape, bucket_shape, n_chunks: int, folded: bool):
         # keyed ONLY on 32-quantized shapes + chunk count: volumes of any
         # raw shape land on a handful of compiled programs (the reference
         # dataset's per-case shape variety would otherwise recompile the
         # whole scan+forward program per case). The centered patch-pad
         # offset enters as a DYNAMIC operand, so it never splits the cache.
-        key = (raw_bucket_shape, bucket_shape, n_chunks)
+        key = (raw_bucket_shape, bucket_shape, n_chunks, folded)
         if key in self._compiled:
             return self._compiled[key]
         patch = self.patch
@@ -149,8 +149,67 @@ class SlidingWindowInference:
             )
             return (score > 0.5).astype(jnp.uint8), score
 
-        self._compiled[key] = run
-        return run
+        @jax.jit
+        def run_folded(params, state, raw, offsets, origins):
+            # Packed inter-op pipeline: the canvas is folded ONCE (fold-2
+            # space-to-depth, ops/folding.py), patches are gathered,
+            # forwarded (model.apply_seg_folded: folded IO, no per-patch
+            # transposes) and scatter-added entirely in folded layout,
+            # and the score unfolds ONCE at the end. Foreground prob for
+            # the 2-class head is softmax[..., 1] == sigmoid(l1 - l0),
+            # computed on folded lanes (class-major: class c occupies
+            # lanes 8c..8c+7) — the (.., 2)-minor softmax tensor XLA
+            # would lane-pad 64x is never materialized. Requires even
+            # origins and even bucket dims (guaranteed by dispatch).
+            from ..ops.folding import fold2, unfold2
+
+            volume = jax.lax.dynamic_update_slice(
+                jnp.zeros(vol_shape, jnp.float32),
+                raw.astype(jnp.float32),
+                (offsets[0], offsets[1], offsets[2]),
+            )[None, ..., None]
+            vol_f = fold2(volume)[0]  # (G1, G2, G3, 8)
+            grid = vol_f.shape[:3]
+            patch_f = tuple(p // 2 for p in patch)
+            score = jnp.zeros(grid + (8,), jnp.float32)
+            cnt = jnp.zeros(grid + (8,), jnp.float32)
+
+            def gather(origin):
+                return jax.lax.dynamic_slice(
+                    vol_f, (origin[0], origin[1], origin[2], 0), patch_f + (8,)
+                )
+
+            def chunk_body(carry, chunk_origins):
+                score, cnt = carry
+                fo = chunk_origins // 2
+                patches = jax.vmap(gather)(fo)  # (B, *patch_f, 8)
+                seg_f = model.apply_seg_folded(params, state, patches)
+                probs = jax.nn.sigmoid(seg_f[..., 8:16] - seg_f[..., 0:8])
+
+                def add_one(inner, op):
+                    sc, ct = inner
+                    origin, prob = op
+                    o = (origin[0], origin[1], origin[2], 0)
+                    win = jax.lax.dynamic_slice(sc, o, patch_f + (8,))
+                    sc = jax.lax.dynamic_update_slice(sc, win + prob, o)
+                    wct = jax.lax.dynamic_slice(ct, o, patch_f + (8,))
+                    ct = jax.lax.dynamic_update_slice(ct, wct + 1.0, o)
+                    return (sc, ct), None
+
+                (score, cnt), _ = jax.lax.scan(add_one, (score, cnt), (fo, probs))
+                return (score, cnt), None
+
+            chunks = origins.reshape(n_chunks, B, 3)
+            (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
+            score = score / jnp.maximum(cnt, 1e-12)
+            score = unfold2(score[None])[0, ..., 0]  # (D1, D2, D3)
+            score = jax.lax.dynamic_slice(
+                score, (offsets[0], offsets[1], offsets[2]), raw_bucket_shape
+            )
+            return (score > 0.5).astype(jnp.uint8), score
+
+        self._compiled[key] = run_folded if folded else run
+        return self._compiled[key]
 
     def dispatch(self, params, state, image: np.ndarray):
         """Enqueue H2D + the device program without blocking. Returns
@@ -184,7 +243,17 @@ class SlidingWindowInference:
 
         k_bucket = _round_up(k, self.patch_batch)
         origins_b = np.concatenate([origins, np.tile(origins[-1:], (k_bucket - k, 1))], axis=0)
-        run = self._device_fn(raw_bucket, bucket_shape, k_bucket // self.patch_batch)
+        # Folded fast path: model exposes a folded-IO seg head (2-class
+        # unet_3D with layout="folded") and this volume's patch grid is
+        # fold-2 aligned. Odd origins (odd raw shapes) fall back to the
+        # plain program — same results either way (tested).
+        folded = (
+            getattr(self.model, "apply_seg_folded", None) is not None
+            and getattr(self.model.cfg, "n_classes", None) == 2  # sigmoid(l1-l0) shortcut
+            and all(p % 16 == 0 for p in self.patch)
+            and not (origins % 2).any()
+        )
+        run = self._device_fn(raw_bucket, bucket_shape, k_bucket // self.patch_batch, folded)
         out = run(
             params, state, jnp.asarray(raw_b), jnp.asarray(offsets), jnp.asarray(origins_b)
         )

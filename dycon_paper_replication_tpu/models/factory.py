@@ -55,7 +55,16 @@ def net_factory_3d(
             pallas_interpret=pallas_interpret,
             layout=layout,
         )
-        return Model(cfg, init_unet3d, unet3d_apply)
+        model = Model(cfg, init_unet3d, unet3d_apply)
+        if layout == "folded":
+            from .unet3d_folded import unet3d_seg_folded_io
+
+            # packed inter-op pipeline entry (folded IO seg logits) for
+            # the sliding-window engine; see unet3d_seg_folded_io
+            model.apply_seg_folded = (
+                lambda params, state, xf: unet3d_seg_folded_io(params, state, xf, cfg)
+            )
+        return model
     if net_type == "vnet":
         if layout == "folded":
             raise ValueError("folded layout is only supported by unet_3D")

@@ -55,34 +55,35 @@ def _folded_block(p: Params, x: jnp.ndarray, *, grid, n_valid: int, cd) -> jnp.n
     return jax.nn.relu(instance_norm_folded(h, n_valid))
 
 
-def unet3d_apply_folded(
+def unet3d_trunk_folded(
     params: Params,
-    state: Params,
-    x: jnp.ndarray,
+    xf: jnp.ndarray,
     cfg,
     *,
     train: bool = False,
-    rng: jax.Array | None = None,
-    with_projection: bool = True,
-):
-    from .unet3d import _conv_block, projection_head
+    d1_key: jax.Array | None = None,
+    d2_key: jax.Array | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Encoder + decoder on FOLDED input, FOLDED output.
+
+    xf: (B, G1, G2, G3, 8*in_ch) phase-0 folded (grid dims % 8 == 0).
+    Returns (h, center): h the last decoder feature map, folded phase-0
+    (B, G1, G2, G3, 8*f0); center the unfolded bottleneck (for the
+    projection head)."""
+    from .unet3d import _conv_block
 
     cd = cfg.compute_dtype
-    B, D, H, W, _ = x.shape
-    assert D % 16 == 0 and H % 16 == 0 and W % 16 == 0, (D, H, W)
+    _, G1, G2, G3, _ = xf.shape
+    assert G1 % 8 == 0 and G2 % 8 == 0 and G3 % 8 == 0, (G1, G2, G3)
     inner_cfg = dataclasses.replace(cfg, layout="NDHWC")
-    if train and rng is not None:
-        d1_key, d2_key, aspp_key = jax.random.split(rng, 3)
-    else:
-        d1_key = d2_key = aspp_key = None
 
-    g1 = (D // 2, H // 2, W // 2)
+    g1 = (G1, G2, G3)
     g2 = tuple(g // 2 for g in g1)
-    n1 = D * H * W
+    n1 = 8 * G1 * G2 * G3
     n2 = n1 // 8
 
     # --- folded encoder levels 1-2 ---
-    s1 = _folded_block(params["conv1"], fold2(x), grid=g1, n_valid=n1, cd=cd)
+    s1 = _folded_block(params["conv1"], xf, grid=g1, n_valid=n1, cd=cd)
     s2 = _folded_block(params["conv2"], pool_refold(s1), grid=g2, n_valid=n2, cd=cd)
     h = pool_consume_fold(s2)  # (B, *g2, f1) unfolded level-3 input
 
@@ -111,6 +112,50 @@ def unet3d_apply_folded(
     h = jnp.concatenate([s1.astype(up.dtype), up], axis=-1)
     h = _folded_block(params["up_concat1"], h, grid=g1, n_valid=n1, cd=cd)
     h = layers.dropout(h, cfg.dropout_rate, d2_key, train)
+    return h, center
+
+
+def unet3d_seg_folded_io(params: Params, state: Params, xf: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Eval-mode seg head with folded input AND output — the packed
+    inter-op pipeline entry for the sliding-window engine.
+
+    xf: (B, G1, G2, G3, 8*in_ch) phase-0 folded patches. Returns folded
+    seg logits (B, G1, G2, G3, 8*n_classes) f32, class-major lanes
+    (lane = class * 8 + sub-position) — identical to
+    fold2(seg_unfolded). Keeping IO folded means the caller never pays
+    the per-patch fold/unfold transposes nor materializes the
+    (.., n_classes)-minor tensor that XLA lane-pads 64x."""
+    h, _ = unet3d_trunk_folded(params, xf, cfg, train=False)
+    return conv1x1_folded(
+        h, params["out_conv2"]["w"], params["out_conv2"].get("b"),
+        compute_dtype=cfg.compute_dtype,
+    ).astype(jnp.float32)
+
+
+def unet3d_apply_folded(
+    params: Params,
+    state: Params,
+    x: jnp.ndarray,
+    cfg,
+    *,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    with_projection: bool = True,
+):
+    from .unet3d import projection_head
+
+    cd = cfg.compute_dtype
+    B, D, H, W, _ = x.shape
+    assert D % 16 == 0 and H % 16 == 0 and W % 16 == 0, (D, H, W)
+    inner_cfg = dataclasses.replace(cfg, layout="NDHWC")
+    if train and rng is not None:
+        d1_key, d2_key, aspp_key = jax.random.split(rng, 3)
+    else:
+        d1_key = d2_key = aspp_key = None
+
+    h, center = unet3d_trunk_folded(
+        params, fold2(x), cfg, train=train, d1_key=d1_key, d2_key=d2_key
+    )
 
     new_state = dict(state)
     sdf = jnp.tanh(

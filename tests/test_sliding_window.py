@@ -78,6 +78,45 @@ class TestStitching:
         np.testing.assert_allclose(s1, s2, atol=2e-5)
 
 
+class TestFoldedPipeline:
+    """The packed folded sliding-window program (fold volume once,
+    folded gather/forward/scatter, unfold once) must reproduce the plain
+    program bit-for-bit up to f32 reassociation."""
+
+    @pytest.fixture(scope="class")
+    def folded_bundle(self):
+        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2,
+                               layout="folded")
+        params, state = model.init(jax.random.key(0))
+        return model, params, state
+
+    def test_matches_plain_engine(self, sw_bundle, folded_bundle, rng):
+        model_p, params, state = sw_bundle
+        model_f, _, _ = folded_bundle
+        image = rng.normal(size=(24, 20, 16)).astype(np.float32)
+        sw_p = SlidingWindowInference(model_p, (16, 16, 16), 8, 8, patch_batch=2)
+        sw_f = SlidingWindowInference(model_f, (16, 16, 16), 8, 8, patch_batch=2)
+        label_p, score_p = sw_p(params, state, image)
+        label_f, score_f = sw_f(params, state, image)
+        assert any(k[3] for k in sw_f._compiled), "folded program not used"
+        np.testing.assert_allclose(score_f, score_p, atol=5e-4, rtol=1e-4)
+        # thresholded maps may differ only where score sits ON 0.5
+        disagree = label_f != label_p
+        assert np.abs(score_p[disagree] - 0.5).max(initial=0.0) < 5e-4
+
+    def test_odd_origin_falls_back_to_plain(self, folded_bundle, rng):
+        """Odd raw shapes produce odd clamped origins -> the folded model
+        must transparently run the plain program and still be correct."""
+        model_f, params, state = folded_bundle
+        image = rng.normal(size=(21, 14, 16)).astype(np.float32)
+        sw = SlidingWindowInference(model_f, (16, 16, 16), 8, 8, patch_batch=2,
+                                    shape_bucket=8)
+        label, score = sw(params, state, image)
+        assert label.shape == image.shape
+        assert not any(k[3] for k in sw._compiled), "expected plain fallback"
+        assert bool(np.isfinite(score).all())
+
+
 class TestCompileCache:
     def test_shapes_share_bucketed_programs(self, sw_bundle, rng):
         """Different raw volume shapes that round to the same buckets must

@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="auto",
                    choices=["auto", "float32", "bfloat16"])
     p.add_argument("--layout", type=str, default="auto",
-                   choices=["auto", "NDHWC", "NCDHW"])
+                   choices=["auto", "NDHWC", "NCDHW", "folded"])
     p.add_argument("--patch_batch", type=int, default=0,
                    help="patches per forward; 0 = auto (8 on TPU, 2 elsewhere)")
     return p
@@ -68,7 +68,13 @@ def resolve_perf_flags(args):
         "float32": jnp.float32,
         "bfloat16": jnp.bfloat16,
     }[args.compute_dtype]
-    layout = ("NCDHW" if on_tpu else "NDHWC") if args.layout == "auto" else args.layout
+    if args.layout == "auto":
+        # folded (fold-2 packed pipeline) only exists for the 2-class
+        # unet_3D; the sliding-window engine falls back per volume when a
+        # patch grid isn't fold-2 aligned, so it's always safe to pick
+        layout = ("folded" if args.model == "unet_3D" else "NCDHW") if on_tpu else "NDHWC"
+    else:
+        layout = args.layout
     patch_batch = args.patch_batch or (8 if on_tpu else 2)
     transfer = np.float16 if dt == jnp.bfloat16 else np.float32
     return dt, layout, patch_batch, transfer

@@ -103,8 +103,25 @@ class TrainConfig:
     # internal model tensor layout. NCDHW keeps the W axis (not the
     # C<128 axis) in the TPU lane dim: backward residuals avoid up to 8x
     # lane padding, which is what lets the reference's batch-8 full-patch
-    # configs fit in 16GB HBM. Numerically identical to NDHWC.
-    layout: str = "NCDHW"
+    # configs fit in 16GB HBM. "folded" runs the small-channel U-Net
+    # levels in fold-2 space-to-depth execution (ops/folding.py) —
+    # measured 1.9x faster per train step than NCDHW on v5e. All
+    # numerically identical to NDHWC. "auto" = folded for unet_3D on
+    # TPU, NCDHW for other models on TPU, NDHWC elsewhere.
+    layout: str = "auto"
+
+    def resolved_layout(self) -> str:
+        """Concrete model layout for this config ("auto" resolved against
+        the active JAX backend; the n_classes==2 requirement of the folded
+        eval fast path is NOT required here — folded training works for
+        any class count)."""
+        if self.layout != "auto":
+            return self.layout
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return "NDHWC"
+        return "folded" if self.model == "unet_3D" else "NCDHW"
 
     def snapshot_path(self) -> str:
         """Hyperparameter-encoded run directory. Mirrors the reference's
@@ -203,7 +220,7 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
                    help='"" fresh, "auto" = best ckpt of this run dir, or a path')
     p.add_argument("--remat", type=str, default=d.remat, choices=["none", "full"])
     p.add_argument("--layout", type=str, default=d.layout,
-                   choices=["NDHWC", "NCDHW", "folded"])
+                   choices=["auto", "NDHWC", "NCDHW", "folded"])
     p.add_argument("--fecl_chunk", type=int, default=d.fecl_chunk)
     p.add_argument("--fecl_impl", type=str, default=d.fecl_impl,
                    choices=["fused", "chunked"])

@@ -40,8 +40,6 @@ def net_factory_3d(
     scaler: int = 4,
     use_aspp: bool = False,
     compute_dtype: Any = jnp.float32,
-    conv_impl: str = "xla",
-    pallas_interpret: bool = False,
     layout: str = "NDHWC",
 ) -> Model:
     if net_type == "unet_3D":
@@ -51,8 +49,6 @@ def net_factory_3d(
             scale_factor=int(scaler),
             use_aspp=use_aspp,
             compute_dtype=compute_dtype,
-            conv_impl=conv_impl,
-            pallas_interpret=pallas_interpret,
             layout=layout,
         )
         model = Model(cfg, init_unet3d, unet3d_apply)

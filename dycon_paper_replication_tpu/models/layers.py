@@ -86,41 +86,6 @@ def conv3d(
     return y
 
 
-def conv3d_auto(
-    params: Params,
-    x: jnp.ndarray,
-    *,
-    compute_dtype=None,
-    conv_impl: str = "xla",
-    pallas_interpret: bool = False,
-    data_format: str = "NDHWC",
-) -> jnp.ndarray:
-    """conv3d that routes 3^3 SAME convs to the packed-lane Pallas kernel
-    when `conv_impl == "pallas"` and a valid lane packing exists (see
-    ops/pallas_conv.py). Falls back to the XLA conv otherwise. The Pallas
-    path is forward-only — use for inference (the sliding-window engine),
-    not under jax.grad."""
-    w = params["w"]
-    if (
-        conv_impl == "pallas"
-        and data_format == "NDHWC"
-        and w.shape[:3] == (3, 3, 3)
-    ):
-        from ..ops.pallas_conv import choose_pack, packed_conv3d
-
-        p = choose_pack(w.shape[3], x.shape[3])
-        if p is not None:
-            return packed_conv3d(
-                x,
-                w,
-                params.get("b"),
-                p=p,
-                out_dtype=compute_dtype or x.dtype,
-                interpret=pallas_interpret,
-            )
-    return conv3d(params, x, compute_dtype=compute_dtype, data_format=data_format)
-
-
 def conv_transpose3d_init(
     key: jax.Array,
     in_ch: int,

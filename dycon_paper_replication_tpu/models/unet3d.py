@@ -48,13 +48,11 @@ class UNet3DConfig:
     proj_hidden: int = 512
     proj_out: int = 256
     compute_dtype: Any = jnp.float32
-    # "xla" | "pallas": pallas routes 3^3 convs through the packed-lane
-    # kernel (ops/pallas_conv.py) — forward-only, for inference engines
-    conv_impl: str = "xla"
-    pallas_interpret: bool = False
-    # internal tensor layout: "NDHWC" or "NCDHW". On TPU, NCDHW puts the
-    # W axis in the 128-lane dim (1.33x pad) instead of the C<128 axis
-    # (up to 8x pad) — measured ~2x faster convs on v5e. The EXTERNAL
+    # internal tensor layout: "NDHWC", "NCDHW" or "folded". On TPU,
+    # NCDHW puts the W axis in the 128-lane dim (1.33x pad) instead of
+    # the C<128 axis (up to 8x pad) — measured ~2x faster convs on v5e.
+    # "folded" runs the small-channel levels in fold-2 space-to-depth
+    # execution (ops/folding.py) — fastest measured. The EXTERNAL
     # interface (inputs and all three outputs) is channels-last either way.
     layout: str = "NDHWC"
 
@@ -74,15 +72,10 @@ def _conv_block_init(key: jax.Array, in_ch: int, out_ch: int) -> Params:
 def _conv_block(params: Params, x: jnp.ndarray, cfg: "UNet3DConfig") -> jnp.ndarray:
     """UnetConv3: two (conv3^3 -> InstanceNorm -> ReLU) stages."""
     ca = 1 if cfg.layout == "NCDHW" else -1
-    kw = dict(
-        compute_dtype=cfg.compute_dtype,
-        conv_impl=cfg.conv_impl,
-        pallas_interpret=cfg.pallas_interpret,
-        data_format=cfg.layout,
-    )
-    x = layers.conv3d_auto(params["conv1"], x, **kw)
+    kw = dict(compute_dtype=cfg.compute_dtype, data_format=cfg.layout)
+    x = layers.conv3d(params["conv1"], x, **kw)
     x = jax.nn.relu(layers.instance_norm(x, channel_axis=ca))
-    x = layers.conv3d_auto(params["conv2"], x, **kw)
+    x = layers.conv3d(params["conv2"], x, **kw)
     return jax.nn.relu(layers.instance_norm(x, channel_axis=ca))
 
 

@@ -110,7 +110,7 @@ class Trainer:
             cfg.model, in_chns=cfg.in_ch, class_num=cfg.num_classes,
             scaler=cfg.feature_scaler, use_aspp=cfg.use_aspp,
             compute_dtype=_compute_dtype(cfg),
-            layout=getattr(cfg, "layout", "NDHWC"),
+            layout=cfg.resolved_layout(),
         )
 
         if cfg.lr_schedule == "poly":

@@ -46,7 +46,7 @@ def bench_one(dataset: str, iters: int = 5, **overrides) -> dict:
                       **{**CONFIGS[dataset], **overrides})
     model = net_factory_3d(
         cfg.model, in_chns=cfg.in_ch, class_num=cfg.num_classes,
-        scaler=cfg.feature_scaler, compute_dtype=jnp.bfloat16, layout=cfg.layout,
+        scaler=cfg.feature_scaler, compute_dtype=jnp.bfloat16, layout=cfg.resolved_layout(),
     )
     opt = make_optimizer(lambda s: cfg.base_lr)
     state = create_train_state(model, jax.random.key(0), opt)
@@ -74,7 +74,7 @@ def bench_one(dataset: str, iters: int = 5, **overrides) -> dict:
         "unit": "ms/step",
         "batch_size": bs,
         "patch": list(ps),
-        "layout": cfg.layout,
+        "layout": cfg.resolved_layout(),
         "loss": round(v["loss"], 4),
     }
 

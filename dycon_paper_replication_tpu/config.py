@@ -109,6 +109,10 @@ class TrainConfig:
     # numerically identical to NDHWC. "auto" = folded for unet_3D on
     # TPU, NCDHW for other models on TPU, NDHWC elsewhere.
     layout: str = "auto"
+    # dtype of the host->device batch transfer: "auto" = f16 images + u8
+    # labels on TPU (halves H2D bytes; the step widens to f32/i32 on
+    # device), full-width f32/i32 elsewhere. "float32" forces full width.
+    wire_dtype: str = "auto"
 
     def resolved_layout(self) -> str:
         """Concrete model layout for this config ("auto" resolved against
@@ -219,6 +223,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=d.resume,
                    help='"" fresh, "auto" = best ckpt of this run dir, or a path')
     p.add_argument("--remat", type=str, default=d.remat, choices=["none", "full"])
+    p.add_argument("--wire_dtype", type=str, default=d.wire_dtype,
+                   choices=["auto", "float32", "float16"])
     p.add_argument("--layout", type=str, default=d.layout,
                    choices=["auto", "NDHWC", "NCDHW", "folded"])
     p.add_argument("--fecl_chunk", type=int, default=d.fecl_chunk)

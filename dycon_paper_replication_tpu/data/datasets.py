@@ -69,7 +69,11 @@ class H5VolumeDataset:
         if self.axial_transpose:
             image = np.transpose(image, (2, 1, 0))
             label = np.transpose(label, (2, 1, 0))
-        return {"image": image, "label": label.astype(np.uint8)}
+        # convert once at the source: f64-stored volumes (some upstream
+        # preprocessors) would otherwise double every downstream copy on
+        # the host; np.asarray is a no-copy passthrough for f32 files
+        return {"image": np.asarray(image, np.float32),
+                "label": np.asarray(label, np.uint8)}
 
     def get(self, idx: int, rng: np.random.Generator | None = None) -> dict:
         rng = rng or np.random.default_rng()

@@ -30,7 +30,9 @@ def _ellipsoid_volume(rng: np.random.Generator, shape) -> tuple[np.ndarray, np.n
     label = (d <= 1.0).astype(np.uint8)
     image = 0.4 * label + 0.1 * rng.standard_normal(shape).astype(np.float32)
     image = (image - image.min()) / (image.max() - image.min() + 1e-8)
-    return image.astype(np.float64), label
+    # f32 storage matches the real preprocessors' output dtype
+    # (data/preprocess.py writes f32 images)
+    return image.astype(np.float32), label
 
 
 def make_brats19(root: str, n_train: int = 8, n_test: int = 3, shape=(64, 64, 48), seed: int = 0):

@@ -173,6 +173,13 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         return total, aux
 
     def train_step(state: TrainState, batch, rng: jax.Array, scalars: StepScalars):
+        # widen wire dtypes once: the loader may ship f16 images / u8
+        # labels to halve H2D bytes (cfg.wire_dtype); everything below
+        # sees f32/i32 exactly as with full-width transfers
+        batch = {
+            "image": batch["image"].astype(jnp.float32),
+            "label": batch["label"].astype(jnp.int32),
+        }
         noise_key, student_key, teacher_key = jax.random.split(rng, 3)
         image = batch["image"]
 

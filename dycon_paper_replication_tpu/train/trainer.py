@@ -216,9 +216,13 @@ class Trainer:
             range(labeled), range(labeled, len(ds)),
             cfg.batch_size, cfg.batch_size - cfg.labeled_bs, seed=cfg.seed,
         )
+        on_tpu = jax.devices()[0].platform == "tpu"
+        half_wire = cfg.wire_dtype == "float16" or (cfg.wire_dtype == "auto" and on_tpu)
         self.loader = BatchLoader(
             ds, sampler, seed=cfg.seed, prefetch=cfg.num_prefetch,
             device_put=lambda b: {k: jax.device_put(v, self._batch_sharding) for k, v in b.items()},
+            image_dtype=np.float16 if half_wire else np.float32,
+            label_dtype=np.uint8 if half_wire else np.int32,
         )
         self.iters_per_epoch = len(sampler)
         self.max_epoch = cfg.max_iterations // self.iters_per_epoch + 1
@@ -289,92 +293,97 @@ class Trainer:
         if iter_num:
             key = jax.random.fold_in(key, iter_num)
         start_epoch = iter_num // self.iters_per_epoch
-        for epoch in range(start_epoch, self.max_epoch):
-            beta, pos_th, neg_th = self._epoch_scalars(epoch)
-            for batch in self.loader.epoch():
-                scalars = StepScalars.make(
-                    beta, self._consistency_weight(iter_num), pos_th, neg_th
+        # continuous producer: one prefetch thread across epoch
+        # boundaries (an "epoch" is only labelnum/labeled_bs batches);
+        # epoch-level schedules recompute when the epoch index advances
+        beta = pos_th = neg_th = None
+        last_epoch = None
+        for epoch_idx, batch in self.loader.epochs():
+            epoch = start_epoch + epoch_idx
+            if epoch != last_epoch:
+                beta, pos_th, neg_th = self._epoch_scalars(epoch)
+                last_epoch = epoch
+            scalars = StepScalars.make(
+                beta, self._consistency_weight(iter_num), pos_th, neg_th
+            )
+            key, step_key = jax.random.split(key)
+            self.timer.start()
+            self.state, m = self.train_step(self.state, batch, step_key, scalars)
+            # ONE host<->device round trip for all per-step scalars
+            v = dict(zip(SCALAR_METRICS, np.asarray(m["scalars"]).tolist()))
+            self.timer.stop(m["scalars"])
+            if v["skipped"]:
+                # reference `continue`s BEFORE iter_num += 1
+                # (train_DyCON_Pancreas.py:261-263): a NaN step advances
+                # neither state.step nor the schedules/cadence
+                self.log.info(
+                    "NaN or Inf found in loss at iteration %d — skipped", iter_num
                 )
-                key, step_key = jax.random.split(key)
-                self.timer.start()
-                self.state, m = self.train_step(self.state, batch, step_key, scalars)
-                # ONE host<->device round trip for all per-step scalars
-                v = dict(zip(SCALAR_METRICS, np.asarray(m["scalars"]).tolist()))
-                self.timer.stop(m["scalars"])
-                if v["skipped"]:
-                    # reference `continue`s BEFORE iter_num += 1
-                    # (train_DyCON_Pancreas.py:261-263): a NaN step advances
-                    # neither state.step nor the schedules/cadence
-                    self.log.info(
-                        "NaN or Inf found in loss at iteration %d — skipped", iter_num
+                continue
+            iter_num += 1
+
+            if iter_num % 200 == 0:
+                monitor_similarity_distributions(
+                    m["embedding"], m["mask_con"], iter_num,
+                    os.path.join(self.snapshot_path, f"{cfg.exp}_similarity"),
+                )
+
+            if iter_num % self.hd95_every == 0 or iter_num == 1:
+                pred_fg = np.asarray(m["pred_fg"])
+                label_np = np.asarray(batch["label"])
+                max_dist = float(np.linalg.norm(cfg.patch_size))
+                hd = float(np.mean(metrics.compute_hd95_batch(pred_fg, label_np, max_dist)))
+                self.log.scalar("train/HD95", hd, iter_num)
+
+            self.log.scalars(
+                {
+                    "info/loss": v["loss"],
+                    "info/f_loss": v["f_loss"],
+                    "info/u_loss": v["u_loss"],
+                    "info/loss_ce": v["loss_ce"],
+                    "info/loss_dice": v["loss_dice"],
+                    "info/consistency_loss": v["consistency_loss"],
+                    "info/consistency_weight": float(scalars.consistency_weight),
+                    "train/Dice": v["train_dice"],
+                },
+                iter_num,
+            )
+            self.log.info(
+                "Iteration %d : Loss : %f, Loss_CE: %f, Loss_Dice: %f, "
+                "UnCLoss: %f, FeCLoss: %f, mean_dice: %f",
+                iter_num, v["loss"], v["loss_ce"], v["loss_dice"],
+                v["u_loss"], v["f_loss"], v["train_dice"],
+            )
+            if iter_num > 0 and iter_num % cfg.val_every == 0:
+                avg = self.validate()
+                if avg > self.best_performance:
+                    self.best_performance = round(float(avg), 4)
+                    checkpoint.save_checkpoint(
+                        checkpoint.iter_checkpoint_path(
+                            self.snapshot_path, iter_num, self.best_performance
+                        ),
+                        self.state,
                     )
-                    continue
-                iter_num += 1
-
-                if iter_num % 200 == 0:
-                    monitor_similarity_distributions(
-                        m["embedding"], m["mask_con"], iter_num,
-                        os.path.join(self.snapshot_path, f"{cfg.exp}_similarity"),
+                    checkpoint.save_checkpoint(
+                        checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model),
+                        self.state,
                     )
-
-                if iter_num % self.hd95_every == 0 or iter_num == 1:
-                    pred_fg = np.asarray(m["pred_fg"])
-                    label_np = np.asarray(batch["label"])
-                    max_dist = float(np.linalg.norm(cfg.patch_size))
-                    hd = float(np.mean(metrics.compute_hd95_batch(pred_fg, label_np, max_dist)))
-                    self.log.scalar("train/HD95", hd, iter_num)
-
                 self.log.scalars(
-                    {
-                        "info/loss": v["loss"],
-                        "info/f_loss": v["f_loss"],
-                        "info/u_loss": v["u_loss"],
-                        "info/loss_ce": v["loss_ce"],
-                        "info/loss_dice": v["loss_dice"],
-                        "info/consistency_loss": v["consistency_loss"],
-                        "info/consistency_weight": float(scalars.consistency_weight),
-                        "train/Dice": v["train_dice"],
-                    },
+                    {"info/Dice": float(avg), "info/Best_dice": self.best_performance},
                     iter_num,
                 )
                 self.log.info(
-                    "Iteration %d : Loss : %f, Loss_CE: %f, Loss_Dice: %f, "
-                    "UnCLoss: %f, FeCLoss: %f, mean_dice: %f",
-                    iter_num, v["loss"], v["loss_ce"], v["loss_dice"],
-                    v["u_loss"], v["f_loss"], v["train_dice"],
+                    "Iteration %d : Dice: %f Best_dice: %f",
+                    iter_num, float(avg), self.best_performance,
                 )
-                if iter_num > 0 and iter_num % cfg.val_every == 0:
-                    avg = self.validate()
-                    if avg > self.best_performance:
-                        self.best_performance = round(float(avg), 4)
-                        checkpoint.save_checkpoint(
-                            checkpoint.iter_checkpoint_path(
-                                self.snapshot_path, iter_num, self.best_performance
-                            ),
-                            self.state,
-                        )
-                        checkpoint.save_checkpoint(
-                            checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model),
-                            self.state,
-                        )
-                    self.log.scalars(
-                        {"info/Dice": float(avg), "info/Best_dice": self.best_performance},
-                        iter_num,
-                    )
-                    self.log.info(
-                        "Iteration %d : Dice: %f Best_dice: %f",
-                        iter_num, float(avg), self.best_performance,
-                    )
-                    for tag, tval in self.timer.stats().items():
-                        self.log.scalar(f"perf/{tag}", tval, iter_num)
+                for tag, tval in self.timer.stats().items():
+                    self.log.scalar(f"perf/{tag}", tval, iter_num)
 
-                if iter_num % cfg.save_every == 0:
-                    checkpoint.save_checkpoint(
-                        checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
-                        self.state,
-                    )
-                if iter_num >= cfg.max_iterations:
-                    break
+            if iter_num % cfg.save_every == 0:
+                checkpoint.save_checkpoint(
+                    checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
+                    self.state,
+                )
             if iter_num >= cfg.max_iterations:
                 break
         checkpoint.wait_until_finished()

@@ -137,6 +137,37 @@ class TestBatchLoader:
         assert batches1[0]["label"].dtype == np.int32
         np.testing.assert_array_equal(batches1[0]["image"], batches2[0]["image"])
 
+    def test_epochs_stream_matches_epoch_loop(self, data_roots):
+        """The continuous cross-epoch producer must yield the SAME
+        batches and epoch indices as calling epoch() per epoch (RNG
+        streams are keyed by (seed, epoch, batch), not by thread
+        timing)."""
+        ds = Pancreas(str(data_roots / "Pancreas"), crop_size=(32, 32, 24),
+                      transform=Compose([RandomRotFlip(), ToArray()]))
+
+        def mk():
+            return BatchLoader(
+                ds, TwoStreamBatchSampler(range(2), range(2, 6), 4, 2, seed=5), seed=9
+            )
+
+        loader_a = mk()
+        want = [(e, b) for e in range(3) for b in loader_a.epoch()]
+        got = list(mk().epochs(3))
+        assert [e for e, _ in got] == [e for e, _ in want]
+        for (_, ga), (_, wa) in zip(got, want):
+            np.testing.assert_array_equal(ga["image"], wa["image"])
+            np.testing.assert_array_equal(ga["label"], wa["label"])
+
+    def test_epochs_stream_early_break_stops_producer(self, data_roots):
+        ds = Pancreas(str(data_roots / "Pancreas"), crop_size=(32, 32, 24),
+                      transform=Compose([ToArray()]))
+        loader = BatchLoader(
+            ds, TwoStreamBatchSampler(range(2), range(2, 6), 4, 2, seed=5), seed=9
+        )
+        for i, (_e, _b) in enumerate(loader.epochs()):
+            if i == 2:
+                break  # generator close must unblock the worker thread
+
 
 class TestRemainingTransforms:
     def test_center_crop(self, rng):

@@ -17,9 +17,13 @@ H2D+D2H round trip per patch:
     update-slices inside lax.scan — no host round trips at all;
   * XLA recompilation is bounded by bucketing: volume shapes round up to
     multiples of 32 (right-side zero padding — unvisited by any patch
-    window, sliced off afterwards) and the origin list pads to a
-    power-of-two patch count by REPEATING an origin, which leaves the
-    score/count ratio untouched (x+x)/(1+1) == x.
+    window, sliced off afterwards) and the origin list pads to a whole
+    number of chunks with ZERO-WEIGHT entries: padded patches run
+    through the model but contribute w=0 to both the score and the
+    count, so the overlap average is exactly that of the true origin
+    list. (Padding by repeating an origin — the round-1 scheme — is NOT
+    average-preserving where the repeated window overlaps other
+    windows.)
 Duplicate origins produced by the clamped grid are deduplicated — the
 overlap average is invariant to multiplicity.
 """
@@ -72,6 +76,7 @@ class SlidingWindowInference:
         patch_batch: int = 8,
         shape_bucket: int = 32,
         transfer_dtype=np.float32,
+        mesh=None,
     ):
         self.model = model
         self.patch = tuple(patch_size)
@@ -82,6 +87,12 @@ class SlidingWindowInference:
         # dtype the raw volume is shipped to the device in; float16 halves
         # the H2D bytes (fine when the model computes in bf16 anyway)
         self.transfer_dtype = transfer_dtype
+        # optional jax.sharding.Mesh with a "data" axis: patch chunks are
+        # sharded across devices (volume + params replicated — the canvas
+        # is tens of MB, the model 6M params) and each device scatter-adds
+        # its own partial score/count maps, combined with ONE psum pair at
+        # the end. Near-linear scaling in devices for the dense protocols.
+        self.mesh = mesh
         self._compiled: dict = {}
 
     def _device_fn(self, raw_bucket_shape, bucket_shape, n_chunks: int, folded: bool):
@@ -96,18 +107,13 @@ class SlidingWindowInference:
         patch = self.patch
         B = self.patch_batch
         model = self.model
+        mesh = self.mesh
         vol_shape = bucket_shape
 
-        @jax.jit
-        def run(params, state, raw, offsets, origins):
-            # raw: (*raw_bucket_shape,) transfer dtype; offsets: (3,) i32
-            # placement of the raw volume inside the padded canvas;
-            # origins: (n_chunks*B, 3)
-            volume = jax.lax.dynamic_update_slice(
-                jnp.zeros(vol_shape, jnp.float32),
-                raw.astype(jnp.float32),
-                (offsets[0], offsets[1], offsets[2]),
-            )[..., None]
+        def accum_plain(params, state, volume, origins, weights):
+            """Scatter-add softmax probs of `origins`' patches into fresh
+            score/count maps. volume: (*vol_shape, 1); origins (K, 3);
+            weights (K,) f32 — 1 for true origins, 0 for chunk padding."""
             score = jnp.zeros(vol_shape, jnp.float32)
             cnt = jnp.zeros(vol_shape, jnp.float32)
 
@@ -116,8 +122,9 @@ class SlidingWindowInference:
                     volume, (origin[0], origin[1], origin[2], 0), patch + (1,)
                 )
 
-            def chunk_body(carry, chunk_origins):
+            def chunk_body(carry, xs):
                 score, cnt = carry
+                chunk_origins, w = xs
                 patches = jax.vmap(gather)(chunk_origins)  # (B, *patch, 1)
                 (_, logits, _), _ = model.apply(
                     params, state, patches, train=False, with_projection=False
@@ -126,49 +133,31 @@ class SlidingWindowInference:
 
                 def add_one(inner, op):
                     sc, ct = inner
-                    origin, prob = op
+                    origin, prob, wi = op
                     o = (origin[0], origin[1], origin[2])
                     win = jax.lax.dynamic_slice(sc, o, patch)
-                    sc = jax.lax.dynamic_update_slice(sc, win + prob, o)
+                    sc = jax.lax.dynamic_update_slice(sc, win + wi * prob, o)
                     wct = jax.lax.dynamic_slice(ct, o, patch)
-                    ct = jax.lax.dynamic_update_slice(ct, wct + 1.0, o)
+                    ct = jax.lax.dynamic_update_slice(ct, wct + wi, o)
                     return (sc, ct), None
 
-                (score, cnt), _ = jax.lax.scan(add_one, (score, cnt), (chunk_origins, probs))
+                (score, cnt), _ = jax.lax.scan(
+                    add_one, (score, cnt), (chunk_origins, probs, w)
+                )
                 return (score, cnt), None
 
-            chunks = origins.reshape(n_chunks, B, 3)
+            chunks = (origins.reshape(-1, B, 3), weights.reshape(-1, B))
             (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
-            score = score / jnp.maximum(cnt, 1e-12)
-            # un-pad on device (dynamic slice back to the raw-bucket
-            # window) and compute the uint8 label there too: the common
-            # consumer only needs the thresholded map, and u8 is 4x
-            # cheaper to bring back to host
-            score = jax.lax.dynamic_slice(
-                score, (offsets[0], offsets[1], offsets[2]), raw_bucket_shape
-            )
-            return (score > 0.5).astype(jnp.uint8), score
+            return score, cnt
 
-        @jax.jit
-        def run_folded(params, state, raw, offsets, origins):
-            # Packed inter-op pipeline: the canvas is folded ONCE (fold-2
-            # space-to-depth, ops/folding.py), patches are gathered,
-            # forwarded (model.apply_seg_folded: folded IO, no per-patch
-            # transposes) and scatter-added entirely in folded layout,
-            # and the score unfolds ONCE at the end. Foreground prob for
-            # the 2-class head is softmax[..., 1] == sigmoid(l1 - l0),
-            # computed on folded lanes (class-major: class c occupies
-            # lanes 8c..8c+7) — the (.., 2)-minor softmax tensor XLA
-            # would lane-pad 64x is never materialized. Requires even
-            # origins and even bucket dims (guaranteed by dispatch).
-            from ..ops.folding import fold2, unfold2
-
-            volume = jax.lax.dynamic_update_slice(
-                jnp.zeros(vol_shape, jnp.float32),
-                raw.astype(jnp.float32),
-                (offsets[0], offsets[1], offsets[2]),
-            )[None, ..., None]
-            vol_f = fold2(volume)[0]  # (G1, G2, G3, 8)
+        def accum_folded(params, state, vol_f, origins, weights):
+            """Folded-space accumulator: vol_f (G1, G2, G3, 8) fold-2
+            canvas, origins (K, 3) in UNFOLDED (even) coordinates,
+            weights (K,) chunk-padding mask. Foreground prob for the
+            2-class head is softmax[..., 1] == sigmoid(l1 - l0), computed
+            on folded class-major lanes (class c occupies lanes
+            8c..8c+7) — the (.., 2)-minor softmax tensor XLA would
+            lane-pad 64x is never materialized."""
             grid = vol_f.shape[:3]
             patch_f = tuple(p // 2 for p in patch)
             score = jnp.zeros(grid + (8,), jnp.float32)
@@ -179,8 +168,9 @@ class SlidingWindowInference:
                     vol_f, (origin[0], origin[1], origin[2], 0), patch_f + (8,)
                 )
 
-            def chunk_body(carry, chunk_origins):
+            def chunk_body(carry, xs):
                 score, cnt = carry
+                chunk_origins, w = xs
                 fo = chunk_origins // 2
                 patches = jax.vmap(gather)(fo)  # (B, *patch_f, 8)
                 seg_f = model.apply_seg_folded(params, state, patches)
@@ -188,27 +178,81 @@ class SlidingWindowInference:
 
                 def add_one(inner, op):
                     sc, ct = inner
-                    origin, prob = op
+                    origin, prob, wi = op
                     o = (origin[0], origin[1], origin[2], 0)
                     win = jax.lax.dynamic_slice(sc, o, patch_f + (8,))
-                    sc = jax.lax.dynamic_update_slice(sc, win + prob, o)
+                    sc = jax.lax.dynamic_update_slice(sc, win + wi * prob, o)
                     wct = jax.lax.dynamic_slice(ct, o, patch_f + (8,))
-                    ct = jax.lax.dynamic_update_slice(ct, wct + 1.0, o)
+                    ct = jax.lax.dynamic_update_slice(ct, wct + wi, o)
                     return (sc, ct), None
 
-                (score, cnt), _ = jax.lax.scan(add_one, (score, cnt), (fo, probs))
+                (score, cnt), _ = jax.lax.scan(add_one, (score, cnt), (fo, probs, w))
                 return (score, cnt), None
 
-            chunks = origins.reshape(n_chunks, B, 3)
+            chunks = (origins.reshape(-1, B, 3), weights.reshape(-1, B))
             (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
+            return score, cnt
+
+        def maybe_sharded(accum):
+            """Mesh mode: params/state/canvas replicated, origins sharded
+            over 'data' — each device scatter-adds its own chunks into
+            device-local maps; ONE psum pair combines them (overlap-add
+            is order-independent addition, so sharding is exact)."""
+            if mesh is None:
+                return accum
+            from jax.sharding import PartitionSpec as P
+
+            def combined(params, state, canvas, origins, weights):
+                s, c = accum(params, state, canvas, origins, weights)
+                return jax.lax.psum(s, "data"), jax.lax.psum(c, "data")
+
+            # check_vma=False: the zero-initialized scan carries inside
+            # `accum` are replicated values that become device-varying
+            # through the sharded origins; exactness is covered by the
+            # sharded==single-device tests
+            return jax.shard_map(
+                combined, mesh=mesh,
+                in_specs=(P(), P(), P(), P("data"), P("data")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+
+        accum_fn = maybe_sharded(accum_folded if folded else accum_plain)
+
+        @jax.jit
+        def run(params, state, raw, offsets, origins, weights):
+            # raw: (*raw_bucket_shape,) transfer dtype; offsets: (3,) i32
+            # placement of the raw volume inside the padded canvas;
+            # origins: (n_chunks*B, 3); weights: (n_chunks*B,) 1/0 true-
+            # origin mask. In folded mode the canvas is folded ONCE
+            # (fold-2 space-to-depth, ops/folding.py), the whole
+            # gather/forward/scatter pipeline runs in folded layout, and
+            # the score unfolds ONCE at the end.
+            volume = jax.lax.dynamic_update_slice(
+                jnp.zeros(vol_shape, jnp.float32),
+                raw.astype(jnp.float32),
+                (offsets[0], offsets[1], offsets[2]),
+            )[..., None]
+            if folded:
+                from ..ops.folding import fold2, unfold2
+
+                canvas = fold2(volume[None])[0]  # (G1, G2, G3, 8)
+            else:
+                canvas = volume
+            score, cnt = accum_fn(params, state, canvas, origins, weights)
             score = score / jnp.maximum(cnt, 1e-12)
-            score = unfold2(score[None])[0, ..., 0]  # (D1, D2, D3)
+            if folded:
+                score = unfold2(score[None])[0, ..., 0]  # (D1, D2, D3)
+            # un-pad on device (dynamic slice back to the raw-bucket
+            # window) and compute the uint8 label there too: the common
+            # consumer only needs the thresholded map, and u8 is 4x
+            # cheaper to bring back to host
             score = jax.lax.dynamic_slice(
                 score, (offsets[0], offsets[1], offsets[2]), raw_bucket_shape
             )
             return (score > 0.5).astype(jnp.uint8), score
 
-        self._compiled[key] = run_folded if folded else run
+        self._compiled[key] = run
         return self._compiled[key]
 
     def dispatch(self, params, state, image: np.ndarray):
@@ -241,8 +285,15 @@ class SlidingWindowInference:
         raw_b = np.pad(image, [(0, rb - s) for s, rb in zip(raw_shape, raw_bucket)])
         offsets = np.array([lo for lo, _ in pads], np.int32)
 
-        k_bucket = _round_up(k, self.patch_batch)
+        # pad the origin list to a whole number of chunks (x devices in
+        # mesh mode) with ZERO-WEIGHT entries: padded patches run but add
+        # nothing to score or count (repeating an origin would skew the
+        # overlap average wherever its window overlaps other windows)
+        n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        k_bucket = _round_up(k, self.patch_batch * n_shards)
         origins_b = np.concatenate([origins, np.tile(origins[-1:], (k_bucket - k, 1))], axis=0)
+        weights_b = np.zeros((k_bucket,), np.float32)
+        weights_b[:k] = 1.0
         # Folded fast path: model exposes a folded-IO seg head (2-class
         # unet_3D with layout="folded") and this volume's patch grid is
         # fold-2 aligned. Odd origins (odd raw shapes) fall back to the
@@ -255,7 +306,8 @@ class SlidingWindowInference:
         )
         run = self._device_fn(raw_bucket, bucket_shape, k_bucket // self.patch_batch, folded)
         out = run(
-            params, state, jnp.asarray(raw_b), jnp.asarray(offsets), jnp.asarray(origins_b)
+            params, state, jnp.asarray(raw_b), jnp.asarray(offsets),
+            jnp.asarray(origins_b), jnp.asarray(weights_b),
         )
         # device arrays are raw_bucket-shaped; only the 32-alignment
         # margin remains to strip on host

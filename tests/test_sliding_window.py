@@ -67,6 +67,30 @@ class TestStitching:
         assert label_map.shape == image.shape
         assert score.shape == image.shape
 
+    def test_chunk_padding_is_average_preserving(self, sw_bundle, rng):
+        """Regression: when the origin count doesn't divide patch_batch,
+        the chunk padding must contribute ZERO weight. (Padding by
+        repeating the last origin skews the overlap average wherever the
+        repeated window overlaps other windows — 4 origins over a
+        (24,20,16) volume all overlap.)"""
+        model, params, state = sw_bundle
+        patch = (16, 16, 16)
+        image = rng.normal(size=(24, 20, 16)).astype(np.float32)
+        # k=4 origins, patch_batch=3 -> k_bucket=6 with 2 padded entries
+        sw = SlidingWindowInference(model, patch, 8, 8, patch_batch=3)
+        _, score = sw(params, state, image)
+
+        origins = compute_origins(image.shape, patch, 8, 8)
+        acc = np.zeros(image.shape, np.float32)
+        cnt = np.zeros(image.shape, np.float32)
+        fwd = jax.jit(lambda x: model.apply(params, state, x, with_projection=False)[0][1])
+        for o in origins:
+            sl = tuple(slice(s, s + p) for s, p in zip(o, patch))
+            logits = fwd(jnp.asarray(image[sl][None, ..., None]))
+            acc[sl] += np.asarray(jax.nn.softmax(logits, axis=-1))[0, ..., 1]
+            cnt[sl] += 1
+        np.testing.assert_allclose(score, acc / cnt, atol=2e-5)
+
     def test_bucketing_invariance(self, sw_bundle, rng):
         """Different shape buckets must not change the result."""
         model, params, state = sw_bundle
@@ -115,6 +139,40 @@ class TestFoldedPipeline:
         assert label.shape == image.shape
         assert not any(k[3] for k in sw._compiled), "expected plain fallback"
         assert bool(np.isfinite(score).all())
+
+
+class TestMeshSharding:
+    """Mesh mode shards patch chunks over the 'data' axis and psums the
+    partial score/count maps — results must equal the single-device
+    engine exactly (overlap-add is order-independent addition)."""
+
+    def _mesh(self):
+        from dycon_paper_replication_tpu.parallel.mesh import make_mesh
+
+        return make_mesh()  # all 8 virtual CPU devices (conftest)
+
+    def test_sharded_matches_single_device(self, sw_bundle, rng):
+        model, params, state = sw_bundle
+        image = rng.normal(size=(24, 20, 16)).astype(np.float32)
+        sw1 = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2)
+        swm = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2,
+                                     mesh=self._mesh())
+        _, s1 = sw1(params, state, image)
+        _, sm = swm(params, state, image)
+        np.testing.assert_allclose(sm, s1, atol=2e-5)
+
+    def test_sharded_folded_matches(self, rng):
+        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2,
+                               layout="folded")
+        params, state = model.init(jax.random.key(0))
+        image = rng.normal(size=(24, 20, 16)).astype(np.float32)
+        sw1 = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2)
+        swm = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2,
+                                     mesh=self._mesh())
+        _, s1 = sw1(params, state, image)
+        _, sm = swm(params, state, image)
+        assert any(k[3] for k in swm._compiled), "folded program not used in mesh mode"
+        np.testing.assert_allclose(sm, s1, atol=2e-5)
 
 
 class TestCompileCache:

@@ -272,6 +272,41 @@ class TestDataParallelExactness:
         b = np.asarray(jax.tree.leaves(s2.params)[0])
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
 
+    def test_folded_layout_sharded_step(self, tmp_path):
+        """The fold-2 flagship layout must train under SPMD data
+        parallelism too (fold2 reshapes touch only non-batch dims, so
+        batch sharding passes straight through)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        cfg = _tiny_cfg(batch_size=4, labeled_bs=2)
+        model = net_factory_3d(cfg.model, in_chns=1, class_num=2, scaler=2,
+                               layout="folded")
+        opt = make_optimizer(lambda s: cfg.base_lr)
+        state = create_train_state(model, jax.random.key(0), opt)
+        step = jax.jit(build_train_step(model, opt, cfg))
+        rng = np.random.default_rng(0)
+        label = rng.integers(0, 2, size=(4, 16, 16, 16)).astype(np.int32)
+        batch = {
+            "image": jnp.asarray(label[..., None] * 0.5 + 0.1 * rng.normal(size=(4, 16, 16, 16, 1)), jnp.float32),
+            "label": jnp.asarray(label),
+        }
+        sc = StepScalars.make(5.0, 0.01, 1.3, 0.3)
+        s1, m1 = step(state, batch, jax.random.key(9), sc)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        state_r = jax.device_put(state, NamedSharding(mesh, P()))
+        batch_s = {k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in batch.items()}
+        key_r = jax.device_put(jax.random.key(9), NamedSharding(mesh, P()))
+        s2, m2 = step(state_r, batch_s, key_r, sc)
+
+        np.testing.assert_allclose(
+            unpack_scalars(m1)["loss"], unpack_scalars(m2)["loss"], rtol=2e-5
+        )
+        a = np.asarray(jax.tree.leaves(s1.params)[0])
+        b = np.asarray(jax.tree.leaves(s2.params)[0])
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
 
 class TestMultiDeviceTrainerRules:
     """The reference's DataParallel adjustments

@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "NDHWC", "NCDHW", "folded"])
     p.add_argument("--patch_batch", type=int, default=0,
                    help="patches per forward; 0 = auto (8 on TPU, 2 elsewhere)")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard patch chunks over N devices (0 = single device); "
+                        "exact vs single-device (one psum pair per volume)")
     return p
 
 
@@ -99,8 +102,13 @@ def run_test(args, dataset: str, volume_iter) -> tuple:
     state = checkpoint.restore_checkpoint(ckpt_path, template)
     print(f"init weight from {ckpt_path}")
 
+    mesh = None
+    if getattr(args, "data_parallel", 0) and args.data_parallel > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel)
     sw = SlidingWindowInference(model, tuple(args.patch_size), args.stride_xy, args.stride_z,
-                                patch_batch=patch_batch, transfer_dtype=transfer)
+                                patch_batch=patch_batch, transfer_dtype=transfer, mesh=mesh)
     save_path = os.path.join(snapshot_path, f"{args.exp}_predictions")
     avg = test_all_case(
         sw, state.params, state.model_state, volume_iter,

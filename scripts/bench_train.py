@@ -88,10 +88,11 @@ def main(argv=None):
     p.add_argument("--fecl_impl", type=str, default=None,
                    choices=["fused", "chunked"])
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--remat", type=str, default=None, choices=["none", "full"])
     args = p.parse_args(argv)
     overrides = {k: v for k, v in
                  [("layout", args.layout), ("fecl_impl", args.fecl_impl),
-                  ("batch_size", args.batch_size)] if v is not None}
+                  ("batch_size", args.batch_size), ("remat", args.remat)] if v is not None}
     for name in args.configs:
         print(json.dumps(bench_one(name, args.iters, **overrides)), flush=True)
 

@@ -20,6 +20,14 @@ import numpy as np
 from .samplers import TwoStreamBatchSampler
 
 
+class _WorkerError:
+    """Sentinel carrying a producer-thread exception to the consumer, so a
+    dataset IO error surfaces as a raise instead of a silent q.get() hang."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class BatchLoader:
     """Iterable over device-ready {'image','label'} batches.
 
@@ -49,8 +57,11 @@ class BatchLoader:
         self.image_dtype = image_dtype
         self.label_dtype = label_dtype
         self._epoch = 0
+        # per-shape-key ring of buffers + its own cursor: a shared cursor
+        # across keys would cycle only half of each ring when two shapes
+        # alternate with an even ring depth, halving the reuse distance
+        # the async-device_put safety argument depends on
         self._pool: dict = {}
-        self._pool_i = 0
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -70,13 +81,17 @@ class BatchLoader:
         if key not in self._pool:
             depth = self.prefetch + 3
             self._pool[key] = [
-                {"image": np.empty(image_shape, self.image_dtype),
-                 "label": np.empty(label_shape, self.label_dtype)}
-                for _ in range(depth)
+                [
+                    {"image": np.empty(image_shape, self.image_dtype),
+                     "label": np.empty(label_shape, self.label_dtype)}
+                    for _ in range(depth)
+                ],
+                0,
             ]
-        ring = self._pool[key]
-        self._pool_i = (self._pool_i + 1) % len(ring)
-        return ring[self._pool_i]
+        entry = self._pool[key]
+        ring, i = entry
+        entry[1] = (i + 1) % len(ring)
+        return ring[entry[1]]
 
     def _assemble(self, indices: list[int], rng: np.random.Generator) -> dict:
         samples = [self.dataset.get(i, rng) for i in indices]
@@ -116,16 +131,19 @@ class BatchLoader:
             return False
 
         def worker():
-            for b, indices in enumerate(batches):
-                if stop.is_set():
-                    return
-                rng = np.random.default_rng((self.seed, epoch_id, b))
-                batch = self._assemble(indices, rng)
-                if self.device_put is not None:
-                    batch = self.device_put(batch)
-                if not put(batch):
-                    return
-            put(None)
+            try:
+                for b, indices in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    rng = np.random.default_rng((self.seed, epoch_id, b))
+                    batch = self._assemble(indices, rng)
+                    if self.device_put is not None:
+                        batch = self.device_put(batch)
+                    if not put(batch):
+                        return
+                put(None)
+            except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+                put(_WorkerError(exc))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -134,6 +152,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _WorkerError):
+                    raise RuntimeError("BatchLoader producer thread failed") from item.exc
                 yield item
         finally:
             stop.set()
@@ -162,21 +182,24 @@ class BatchLoader:
             return False
 
         def worker():
-            produced = 0
-            while n_epochs is None or produced < n_epochs:
-                epoch_id = self._epoch
-                self._epoch += 1
-                produced += 1
-                for b, indices in enumerate(iter(self.sampler)):
-                    if stop.is_set():
-                        return
-                    rng = np.random.default_rng((self.seed, epoch_id, b))
-                    batch = self._assemble(indices, rng)
-                    if self.device_put is not None:
-                        batch = self.device_put(batch)
-                    if not put((epoch_id, batch)):
-                        return
-            put(None)
+            try:
+                produced = 0
+                while n_epochs is None or produced < n_epochs:
+                    epoch_id = self._epoch
+                    self._epoch += 1
+                    produced += 1
+                    for b, indices in enumerate(iter(self.sampler)):
+                        if stop.is_set():
+                            return
+                        rng = np.random.default_rng((self.seed, epoch_id, b))
+                        batch = self._assemble(indices, rng)
+                        if self.device_put is not None:
+                            batch = self.device_put(batch)
+                        if not put((epoch_id, batch)):
+                            return
+                put(None)
+            except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+                put(_WorkerError(exc))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -185,6 +208,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _WorkerError):
+                    raise RuntimeError("BatchLoader producer thread failed") from item.exc
                 yield item
         finally:
             stop.set()

@@ -121,10 +121,9 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
         s_all = s_all.reshape(N)
         rho_all = rho_all.reshape(N)
 
-        pos_count = jnp.sum(mask[:, None] == mask[None, :], axis=-1).astype(_F32) - 1.0
-        # NOTE: pos_count via an (N,N) bool would defeat chunking; compute
-        # it from class histogram instead: count of rows sharing my class.
-        return (row_sums, row_sums_unf, s_all, rho_all, col_max, pos_count, c_sum, c_cnt)
+        # pos_count is NOT computed here: an (N,N) comparison would defeat
+        # chunking; the caller gets it in O(N) from _pos_count instead.
+        return (row_sums, row_sums_unf, s_all, rho_all, col_max, c_sum, c_cnt)
 
     def _pos_count(mask):
         # rows sharing my class, minus self: the mask is binary {0,1}
@@ -148,7 +147,7 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
         def one(d):
             return _per_item_fwd(d["f"], d["m"], d.get("t"), focal_eff, pos_t, neg_t)
 
-        (row_sums, row_sums_unf, s_all, rho_all, col_max, _, c_sum, c_cnt) = jax.vmap(one)(
+        (row_sums, row_sums_unf, s_all, rho_all, col_max, c_sum, c_cnt) = jax.vmap(one)(
             mapped
         )
         pos_count = jax.vmap(_pos_count)(mask)

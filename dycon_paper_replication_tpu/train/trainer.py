@@ -298,7 +298,11 @@ class Trainer:
         # epoch-level schedules recompute when the epoch index advances
         beta = pos_th = neg_th = None
         last_epoch = None
-        for epoch_idx, batch in self.loader.epochs():
+        # bound the stream at the reference's epoch budget: NaN-skipped
+        # steps don't advance iter_num, so a permanently diverged run
+        # would otherwise spin forever (the reference's for-epoch loop
+        # terminates at max_epoch regardless)
+        for epoch_idx, batch in self.loader.epochs(max(1, self.max_epoch - start_epoch)):
             epoch = start_epoch + epoch_idx
             if epoch != last_epoch:
                 beta, pos_th, neg_th = self._epoch_scalars(epoch)

@@ -134,6 +134,11 @@ class Trainer:
 
         step_fn = build_train_step(self.model, self.optimizer, cfg)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        # on-device TrainState copy for async checkpointing: the live
+        # state is donated to the next step, so the background save
+        # thread gets fresh buffers (jit outputs never alias inputs
+        # without explicit donation); costs one HBM round trip (~ms)
+        self._copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
         self._build_data()
         self._build_eval()
@@ -362,15 +367,16 @@ class Trainer:
                 avg = self.validate()
                 if avg > self.best_performance:
                     self.best_performance = round(float(avg), 4)
+                    snap = self._copy_state(self.state)
                     checkpoint.save_checkpoint(
                         checkpoint.iter_checkpoint_path(
                             self.snapshot_path, iter_num, self.best_performance
                         ),
-                        self.state,
+                        snap,
                     )
                     checkpoint.save_checkpoint(
                         checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model),
-                        self.state,
+                        snap,
                     )
                 self.log.scalars(
                     {"info/Dice": float(avg), "info/Best_dice": self.best_performance},
@@ -386,7 +392,7 @@ class Trainer:
             if iter_num % cfg.save_every == 0:
                 checkpoint.save_checkpoint(
                     checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
-                    self.state,
+                    self._copy_state(self.state),
                 )
             if iter_num >= cfg.max_iterations:
                 break

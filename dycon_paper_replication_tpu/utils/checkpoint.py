@@ -1,17 +1,31 @@
-"""Orbax checkpointing with full resume.
+"""Orbax checkpointing with full resume, off the training critical path.
 
 Closes the reference's checkpoint gap (SURVEY.md §5): the reference only
 saves the student state_dict (no optimizer, no teacher, no step — resume
 impossible; train_DyCON_Pancreas.py:301-320). Here a checkpoint is the
 whole TrainState pytree {step, student params+norm state, teacher
-params+norm state, optimizer momentum}, saved asynchronously off the
-training critical path, plus the reference's best/periodic cadence and
-hyperparameter-encoded run-directory convention (config.snapshot_path).
+params+norm state, optimizer momentum}, plus the reference's
+best/periodic cadence and hyperparameter-encoded run-directory
+convention (config.snapshot_path).
+
+Asynchrony, honestly: orbax's `StandardCheckpointer` (an
+`AsyncCheckpointer` since orbax 0.4) already writes to disk in a
+background thread — but its `save()` still BLOCKS the caller on the
+device→host fetch of every array, which through a slow host link is the
+dominant cost (~100 MB of state). So `save_checkpoint` here hands the
+whole save (fetch + write) to a single background worker thread and
+returns immediately. The caller must pass a state that stays valid
+until the save completes — a donating train loop must snapshot first
+(`Trainer._copy_state` makes an on-device copy, ~0.3 ms). Saves are
+serialized in submission order; `wait_until_finished()` drains the
+queue and re-raises the first failure.
 """
 
 from __future__ import annotations
 
 import os
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any
 
 import jax
@@ -19,6 +33,9 @@ import orbax.checkpoint as ocp
 
 
 _checkpointer: ocp.Checkpointer | None = None
+_executor: ThreadPoolExecutor | None = None
+_pending: list[Future] = []
+_lock = threading.Lock()
 
 
 def _get_checkpointer() -> ocp.Checkpointer:
@@ -28,15 +45,48 @@ def _get_checkpointer() -> ocp.Checkpointer:
     return _checkpointer
 
 
-def save_checkpoint(path: str, state: Any, force: bool = True) -> None:
-    """Save a pytree checkpoint to `path` (directory, created fresh)."""
+def _get_executor() -> ThreadPoolExecutor:
+    global _executor
+    if _executor is None:
+        _executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+    return _executor
+
+
+def save_checkpoint(path: str, state: Any, force: bool = True, block: bool = False) -> None:
+    """Queue a pytree checkpoint save to `path` (directory, created fresh).
+
+    Returns immediately (unless `block`); the device→host fetch and disk
+    write run on the checkpoint worker thread. `state` must remain valid
+    until the save completes: from a `donate_argnums` train loop, pass a
+    snapshot copy, not the live (about-to-be-donated) state.
+    """
     path = os.path.abspath(path)
-    _get_checkpointer().save(path, state, force=force)
+
+    def _do():
+        # orbax's own save is async for the WRITE; calling it from the
+        # worker moves the blocking device fetch off the train loop too.
+        # wait_until_finished serializes against the next queued save.
+        c = _get_checkpointer()
+        c.save(path, state, force=force)
+        c.wait_until_finished()
+
+    with _lock:
+        # surface earlier failures promptly instead of at exit
+        for f in [f for f in _pending if f.done()]:
+            _pending.remove(f)
+            exc = f.exception()
+            if exc is not None:
+                raise RuntimeError(f"async checkpoint save failed") from exc
+        fut = _get_executor().submit(_do)
+        _pending.append(fut)
+    if block:
+        fut.result()
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
     """Restore a pytree checkpoint; `template` supplies structure/shapes
     (e.g. a freshly created TrainState)."""
+    wait_until_finished()  # a restore may race a queued save of the same dir
     path = os.path.abspath(path)
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     return _get_checkpointer().restore(path, abstract)
@@ -53,6 +103,14 @@ def iter_checkpoint_path(snapshot_path: str, iter_num: int, dice: float | None =
 
 
 def wait_until_finished() -> None:
+    """Drain all queued saves; re-raise the first failure."""
+    with _lock:
+        pending = list(_pending)
+        _pending.clear()
+    for f in pending:
+        exc = f.exception()  # waits
+        if exc is not None:
+            raise RuntimeError("async checkpoint save failed") from exc
     c = _get_checkpointer()
     if hasattr(c, "wait_until_finished"):
         c.wait_until_finished()

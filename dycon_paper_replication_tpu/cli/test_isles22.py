@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--layout", type=str, default="auto",
                    choices=["auto", "NDHWC", "NCDHW"])
     p.add_argument("--patch_batch", type=int, default=0)  # accepted for symmetry
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard eval volumes round-robin over the first N "
+                        "devices (0/1 = single device)")
     args = p.parse_args(argv)
     from .test_pancreas import resolve_perf_flags
 
@@ -58,7 +61,11 @@ def main(argv=None):
     print(f"Loading best model from: {ckpt_path}")
 
     ds = ISLESDataset(args.root_dir, split="val")
-    wv = WholeVolumeInference(model, tuple(args.patch_size))
+    devices = None
+    if args.data_parallel > 1:
+        devices = jax.devices()[: args.data_parallel]
+        print(f"Volume-parallel eval over {len(devices)} devices")
+    wv = WholeVolumeInference(model, tuple(args.patch_size), devices=devices)
     results_file = os.path.join(snapshot_path, f"test_results_labelnum{args.labelnum}.txt")
     summary = test_all_case_wholevolume(
         wv, state.params, state.model_state,

@@ -104,14 +104,22 @@ class WholeVolumeInference:
         driven by this (untrained!) head. Kept for faithfulness.
       * "seg": the segmentation-logits head — what the reference's
         OFFLINE ISLES test uses (test_ISLES22.py:87 `model(...)[1]`).
+
+    Transfer engineering (mirrors SlidingWindowInference): `map()`
+    pipelines volumes — volume i+1's f16 H2D and jitted forward are
+    dispatched before volume i's u8 prediction is fetched, hiding link
+    latency behind device compute. With `devices` (volume-level data
+    parallelism), volumes go round-robin to the listed devices and run
+    concurrently; per-case results stream back in input order either way.
     """
 
     def __init__(self, model, patch_size: tuple[int, int, int], shape_bucket: int = 16,
-                 head: str = "seg"):
+                 head: str = "seg", devices: list | None = None):
         self.model = model
         self.patch = tuple(patch_size)
         self.shape_bucket = shape_bucket
         self.head = head
+        self.devices = list(devices) if devices else None
         self._compiled: dict = {}
 
     def _fn(self, shape):
@@ -122,17 +130,19 @@ class WholeVolumeInference:
             @jax.jit
             def run(params, state, vol):
                 outputs, _ = model.apply(
-                    params, state, vol[None], train=False, with_projection=False
+                    params, state, vol[None].astype(jnp.float32), train=False,
+                    with_projection=False
                 )
-                return jnp.argmax(outputs[head_idx][0], axis=-1)
+                # u8 wire: 4x fewer D2H bytes than the i32 argmax
+                return jnp.argmax(outputs[head_idx][0], axis=-1).astype(jnp.uint8)
 
             self._compiled[shape] = run
         return self._compiled[shape]
 
-    def predict(self, params, state, image: np.ndarray) -> np.ndarray:
-        image = np.asarray(image, np.float32)
-        # symmetric pad (floor+1 convention of the ISLES trainer) then
-        # round up to /16 for the U-Net pooling ladder
+    def _pad(self, image: np.ndarray):
+        """Symmetric pad (floor+1 convention of the ISLES trainer), then
+        round up to /16 for the U-Net pooling ladder. Returns the padded
+        f16 wire array and the unpad slices."""
         pads = []
         for size, p in zip(image.shape, self.patch):
             extra = max((p - size) // 2 + 1, 0) if size < p else 0
@@ -140,10 +150,49 @@ class WholeVolumeInference:
         padded = np.pad(image, pads, mode="constant")
         bshape = tuple(max(((s + 15) // 16) * 16, 16) for s in padded.shape)
         padded = np.pad(padded, [(0, b - s) for s, b in zip(padded.shape, bshape)])
-        run = self._fn(bshape)
-        pred = np.asarray(run(params, state, jnp.asarray(padded[..., None])))
         sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, image.shape))
-        return pred[sl]
+        return padded.astype(np.float16)[..., None], bshape, sl
+
+    def _dispatch(self, params, state, image, device=None):
+        """Asynchronously launch one volume; returns (device_pred, unpad)."""
+        wire, bshape, sl = self._pad(np.asarray(image, np.float32))
+        x = jax.device_put(wire, device) if device is not None else jnp.asarray(wire)
+        return self._fn(bshape)(params, state, x), sl
+
+    def predict(self, params, state, image: np.ndarray) -> np.ndarray:
+        pred_dev, sl = self._dispatch(params, state, image)
+        return np.asarray(pred_dev)[sl]
+
+    def map(self, params, state, volumes: Iterable[tuple[np.ndarray, np.ndarray]],
+            depth: int = 2) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield (pred, label) per volume with H2D/compute/D2H overlap.
+
+        Keeps up to `depth` volumes in flight per device: dispatch is
+        async (jax enqueues H2D + forward), so fetching volume i's
+        prediction overlaps volumes i+1.. computing.
+        """
+        from collections import deque
+
+        devices = self.devices or [None]
+        placed: dict = {}
+
+        def params_on(d):
+            if d not in placed:
+                placed[d] = (params, state) if d is None else jax.device_put((params, state), d)
+            return placed[d]
+
+        pending: deque = deque()
+        in_flight = depth * len(devices)
+        for i, (image, label) in enumerate(volumes):
+            d = devices[i % len(devices)]
+            p, s = params_on(d)
+            pending.append(self._dispatch(p, s, image, d) + (label,))
+            while len(pending) > in_flight:
+                pred_dev, sl, lab = pending.popleft()
+                yield np.asarray(pred_dev)[sl], lab
+        while pending:
+            pred_dev, sl, lab = pending.popleft()
+            yield np.asarray(pred_dev)[sl], lab
 
     __call__ = predict
 
@@ -154,8 +203,7 @@ def var_all_case_wholevolume(
     """ISLES in-training validation: mean soft Dice of argmax==1 vs gt==1
     (smooth=1 as in reference metrics.dice, train_DyCON_ISLES22.py:370)."""
     total, n = 0.0, 0
-    for image, label in volumes:
-        pred = wv.predict(params, state, image)
+    for pred, label in wv.map(params, state, volumes):
         p = (pred == 1).astype(np.float64)
         t = (label == 1).astype(np.float64)
         total += (2.0 * (p * t).sum() + 1.0) / (p.sum() + t.sum() + 1.0)
@@ -177,8 +225,7 @@ def test_all_case_wholevolume(
     hd95/asd = the volume-diagonal max distance, sens/spec per the
     empty side. Returns per-metric mean and std plus per-case rows."""
     rows = []
-    for image, label in volumes:
-        pred = wv.predict(params, state, image)
+    for pred, label in wv.map(params, state, volumes):
         p, t = pred == 1, label == 1
         if p.sum() == 0 and t.sum() == 0:
             case = dict(dice=1.0, hd95=0.0, asd=0.0, sensitivity=1.0, specificity=1.0)

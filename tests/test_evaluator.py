@@ -73,6 +73,10 @@ class StubWV:
         self.i += 1
         return p
 
+    def map(self, params, state, volumes, depth=2):
+        for image, label in volumes:
+            yield self.predict(params, state, image), label
+
 
 class TestWholeVolumeEdgeCases:
     def test_both_empty_is_perfect(self):

@@ -251,7 +251,9 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
             # a single D2H (high-latency links make per-scalar fetches the
             # hot-loop bottleneck); order = SCALAR_METRICS
             "scalars": scalar_vec,
-            "pred_fg": pred_fg,
+            # u8 wire: the host only thresholds this for HD95 — 4x fewer
+            # D2H bytes than f32 over the slow relay link
+            "pred_fg": pred_fg.astype(jnp.uint8),
             # device-resident diagnostics; transferred only when consumed
             "embedding": jax.lax.stop_gradient(aux["embedding"]),
             "mask_con": aux["mask_con"],

@@ -55,15 +55,33 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """`device_put` that also works on a MULTI-HOST mesh.
+
+    `jax.device_put` rejects shardings spanning non-addressable devices;
+    on a multi-controller mesh every process calls this with the same
+    host value (the SPMD convention: identical seeds/data per process)
+    and contributes its addressable shards via
+    `make_array_from_callback`. Typed PRNG keys are handled through
+    their raw key data."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        kd = put_global(np.asarray(jax.random.key_data(x)), sharding)
+        return jax.random.wrap_key_data(kd, impl=jax.random.key_impl(x))
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Host numpy batch -> device arrays sharded along the batch axis."""
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: put_global(v, sh) for k, v in batch.items()}
 
 
 def replicate_tree(mesh: Mesh, tree):
     rep = replicate(mesh)
-    return jax.device_put(tree, rep)
+    return jax.tree.map(lambda x: put_global(x, rep), tree)
 
 
 def distributed_init(

@@ -62,8 +62,6 @@ def net_factory_3d(
             )
         return model
     if net_type == "vnet":
-        if layout == "folded":
-            raise ValueError("folded layout is only supported by unet_3D")
         from .vnet import VNetConfig, init_vnet, vnet_apply
 
         cfg = VNetConfig(

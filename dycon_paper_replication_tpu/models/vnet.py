@@ -136,6 +136,31 @@ def init_vnet(key: jax.Array, cfg: VNetConfig) -> tuple[Params, Params]:
     return params, state
 
 
+def vnet_projection(params, state, center, cfg: VNetConfig, *, train: bool):
+    """The contrastive projection head over the bottleneck (shared by the
+    plain and folded paths). center: layout `cfg.layout`. Returns
+    (features_NDHWC_f32, new_projection_state)."""
+    cd = cfg.compute_dtype
+    df = cfg.layout
+    cf = df == "NCDHW"
+    ca = 1 if cf else -1
+    spatial_axes = (2, 3, 4) if cf else (1, 2, 3)
+    target = tuple(center.shape[a] * cfg.scale_factor for a in spatial_axes)
+    proj = trilinear_resize(center, target, align_corners=True, spatial_axes=spatial_axes)
+    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd, data_format=df)
+    proj, bn1_state = layers.batch_norm(
+        params["projection"]["bn1"], state["projection"]["bn1"], proj, train=train, channel_axis=ca
+    )
+    proj = jax.nn.relu(proj)
+    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd, data_format=df)
+    features, bn2_state = layers.batch_norm(
+        params["projection"]["bn2"], state["projection"]["bn2"], proj, train=train, channel_axis=ca
+    )
+    if cf:
+        features = jnp.moveaxis(features, 1, -1)
+    return features.astype(jnp.float32), {"bn1": bn1_state, "bn2": bn2_state}
+
+
 def vnet_apply(
     params: Params,
     state: Params,
@@ -148,11 +173,16 @@ def vnet_apply(
 ) -> tuple[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None], Params]:
     """x: (B, D1, D2, D3, C), spatial dims divisible by 16.
     Returns ((sdf, seg_logits, features), new_state), outputs f32."""
+    if cfg.layout == "folded":
+        from .vnet_folded import vnet_apply_folded
+
+        return vnet_apply_folded(
+            params, state, x, cfg, train=train, rng=rng,
+            with_projection=with_projection,
+        )
     cd = cfg.compute_dtype
     df = cfg.layout
     cf = df == "NCDHW"
-    ca = 1 if cf else -1
-    spatial_axes = (2, 3, 4) if cf else (1, 2, 3)
     if train and rng is not None:
         d1_key, d2_key = jax.random.split(rng)
     else:
@@ -196,18 +226,7 @@ def vnet_apply(
         new_state["projection"] = state["projection"]
         return (sdf, seg, None), new_state
 
-    target = tuple(center.shape[a] * cfg.scale_factor for a in spatial_axes)
-    proj = trilinear_resize(center, target, align_corners=True, spatial_axes=spatial_axes)
-    proj = layers.conv3d(params["projection"]["conv1"], proj, compute_dtype=cd, data_format=df)
-    proj, bn1_state = layers.batch_norm(
-        params["projection"]["bn1"], state["projection"]["bn1"], proj, train=train, channel_axis=ca
+    features, new_state["projection"] = vnet_projection(
+        params, state, center, cfg, train=train
     )
-    proj = jax.nn.relu(proj)
-    proj = layers.conv3d(params["projection"]["conv2"], proj, compute_dtype=cd, data_format=df)
-    features, bn2_state = layers.batch_norm(
-        params["projection"]["bn2"], state["projection"]["bn2"], proj, train=train, channel_axis=ca
-    )
-    new_state["projection"] = {"bn1": bn1_state, "bn2": bn2_state}
-    if cf:
-        features = jnp.moveaxis(features, 1, -1)
-    return (sdf, seg, features.astype(jnp.float32)), new_state
+    return (sdf, seg, features), new_state

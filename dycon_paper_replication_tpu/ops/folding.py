@@ -281,6 +281,145 @@ def upsample2x_folded(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def fold2_phase1(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) -> PHASE-1 folded (B, D/2+1, H/2+1, W/2+1, 8C).
+
+    Phase-1 block i holds positions (2i-1, 2i); the boundary positions
+    -1 and D are genuine zero padding, so a phase-1 -> phase-0 (VALID)
+    folded conv on this tensor computes exactly the SAME-padded 3^3 conv.
+    This is the natural input fold for conv stacks with an ODD number of
+    3^3 convs per block (VNet's enc0/dec3 — reference VNet.py:150,174):
+    starting at phase-1 makes every block boundary land on phase-0,
+    where strided 2^3 resamplers consume blocks directly."""
+    pads = [(0, 0)] + [(1, 1)] * 3 + [(0, 0)]
+    return fold2(jnp.pad(x, pads))
+
+
+def unfold2_phase1(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of fold2_phase1 (drops the zero/garbage boundary planes)."""
+    y = unfold2(x)
+    return y[:, 1:-1, 1:-1, 1:-1, :]
+
+
+def strided_conv2_folded(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None,
+    *,
+    compute_dtype=None,
+    fold_output: bool = True,
+) -> jnp.ndarray:
+    """2^3 STRIDE-2 conv consuming a phase-0 folded tensor.
+
+    Stride-2 windows coincide exactly with phase-0 blocks, so the conv
+    collapses to ONE dense (8Ci, Co) matmul per block — no taps, no
+    structural zeros (the folded analogue of VNet's DownsamplingConvBlock,
+    reference VNet.py:45-63). x: (B, G, G, G, 8Ci); w: (2, 2, 2, Ci, Co)
+    DHWIO. Returns the half-resolution output unfolded (B, G, G, G, Co)
+    or, with fold_output, refolded phase-0 (B, G/2, G/2, G/2, 8Co)."""
+    b_, g1, g2, g3, l = x.shape
+    ci = l // _SUBS
+    # lane k = c*8 + (qd*4 + qh*2 + qw)  ->  W[(c, q), co] = w[q, c, co]
+    wm = w.transpose(3, 0, 1, 2, 4).reshape(ci * _SUBS, -1)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        wm = wm.astype(compute_dtype)
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
+    y = jnp.einsum("bdhwl,ln->bdhwn", x, wm, preferred_element_type=preferred)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return fold2(y) if fold_output else y
+
+
+def transposed_conv2_to_folded(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None,
+    *,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Transposed 2^3 stride-2 conv producing FOLDED phase-0 output.
+
+    Each input voxel emits one complete 2x2x2 output block, i.e. exactly
+    one phase-0 folded block: y[j, c*8+p] = sum_ci w[p, ci, c] x[j, ci]
+    — one dense (Ci, 8Co) matmul, zero structural waste (the folded
+    analogue of VNet's UpsamplingDeconvBlock, reference VNet.py:66-84;
+    numerics = layers.conv_transpose3d(kernel 2, stride 2), fold2'd).
+    x: (B, g, g, g, Ci) unfolded; returns (B, g, g, g, 8Co) folded."""
+    ci = x.shape[-1]
+    # output lane k = c*8 + p  ->  W[ci, (c, p)] = w[1-p, ci, c]: with
+    # kernel==stride there is no tap overlap, and jax.lax.conv_transpose
+    # (transpose_kernel=False, the layers.conv_transpose3d convention)
+    # mirrors the kernel spatially, so output sub-position p takes the
+    # spatially-flipped tap
+    wm = w[::-1, ::-1, ::-1].transpose(3, 4, 0, 1, 2).reshape(ci, -1)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        wm = wm.astype(compute_dtype)
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
+    y = jnp.einsum("bdhwc,cn->bdhwn", x, wm, preferred_element_type=preferred)
+    if b is not None:
+        y = y + fold_bias(b).astype(y.dtype)
+    return y
+
+
+def batch_norm_folded(
+    params,
+    state,
+    x: jnp.ndarray,
+    n_valid: int,
+    masks: list[jnp.ndarray] | None = None,
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+):
+    """BatchNorm over a folded (B, G1, G2, G3, 8C) tensor.
+
+    Matches models.layers.batch_norm numerics (f32 stats over
+    (batch, space), biased normalize, unbiased running update, affine,
+    same TWO-PASS variance — one-pass E[x^2]-E[x]^2 noise amplifies
+    visibly through V-Net's nine stacked train-mode BNs); `n_valid` is
+    the TRUE per-sample voxel count and `masks` the factored phase-1
+    validity factors (phase1_lane_masks) — boundary planes stay out of
+    the stats and are re-zeroed on output so the next folded conv sees
+    zeros (centered boundary values are masked inside the variance
+    pass). Returns (y, new_state)."""
+    b, g1, g2, g3, l = x.shape
+    c = l // _SUBS
+    n = b * n_valid
+    xf = x.astype(jnp.float32)
+    if masks is not None:
+        for m in masks:
+            xf = xf * m
+    if train:
+        s1 = jnp.sum(xf, axis=(0, 1, 2, 3))              # (8C,)
+        mean = s1.reshape(c, _SUBS).sum(-1) / n
+        cent = xf - jnp.repeat(mean, _SUBS)[None, None, None, None, :]
+        if masks is not None:
+            for m in masks:
+                cent = cent * m
+        s2 = jnp.sum(jnp.square(cent), axis=(0, 1, 2, 3))
+        var = s2.reshape(c, _SUBS).sum(-1) / n
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    scale = jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+    shift = params["bias"].astype(jnp.float32) - mean * scale
+    scale_l = jnp.repeat(scale, _SUBS)[None, None, None, None, :]
+    shift_l = jnp.repeat(shift, _SUBS)[None, None, None, None, :]
+    y = x.astype(jnp.float32) * scale_l + shift_l
+    if masks is not None:
+        for m in masks:
+            y = y * m
+    return y.astype(x.dtype), new_state
+
+
 def conv1x1_folded(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
                    compute_dtype=None) -> jnp.ndarray:
     """1^3 conv (head) on a folded tensor: per-sub-position channel matmul.

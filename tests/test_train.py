@@ -186,6 +186,28 @@ class TestTrainerEndToEnd:
         t2.run()
         assert int(t2.state.step) >= 3
 
+    def test_vnet_full_loop_with_val_and_checkpoint(self, tmp_path):
+        """--model vnet drives the identical trainer+val+checkpoint loop
+        (VNet as a peer model family, reference VNet.py:145-239; the
+        reference's own vnet factory path crashes — see models/vnet.py)."""
+        from dycon_paper_replication_tpu.data import synthetic
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+        from dycon_paper_replication_tpu.utils import checkpoint as ckpt
+
+        root = tmp_path / "Pancreas"
+        synthetic.make_pancreas(str(root), n_train=6, n_test=2, shape=(40, 40, 24))
+        cfg = _tiny_cfg(
+            root_dir=str(root), snapshot_root=str(tmp_path / "runs"),
+            model="vnet", max_iterations=3, val_every=2,
+        )
+        trainer = Trainer(cfg)
+        best = trainer.run()
+        assert 0.0 <= best <= 1.0
+        best_path = ckpt.best_checkpoint_path(trainer.snapshot_path, cfg.model)
+        assert os.path.exists(best_path)
+        # the vnet snapshot dir is distinct from unet_3D's
+        assert "VNET" in trainer.snapshot_path.upper()
+
 
 class TestRemat:
     def test_remat_step_matches_no_remat(self, step_bundle):

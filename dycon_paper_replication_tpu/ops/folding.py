@@ -151,7 +151,21 @@ def folded_conv3(
        through the linear fold).
     Returns the folded output: phase-1 at grid G+1 (padding (1,1)) or
     phase-0 at grid G-1 (VALID).
+
+    Implementation dispatch: DYCON_FOLDED_CONV=pallas routes to the
+    Pallas kernel (ops/folded_conv_pallas.py — VMEM tap reuse, no pad
+    materialization, custom VJP) when tracing for TPU; default is the
+    XLA 2^3-tap conv. Read at trace time, so set it before model jit.
     """
+    import os
+
+    if os.environ.get("DYCON_FOLDED_CONV") == "pallas":
+        if jax.default_backend() == "tpu":
+            from .folded_conv_pallas import folded_conv3_via_pallas
+
+            return folded_conv3_via_pallas(
+                x, w, b, to_phase=to_phase, compute_dtype=compute_dtype
+            )
     wf = fold_conv3_weights(w)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -70,6 +70,7 @@ def bench_one(dataset: str, iters: int = 5, **overrides) -> dict:
     dt = (time.perf_counter() - t0) / iters
     return {
         "metric": f"{dataset}_train_step",
+        "model": cfg.model,
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
         "batch_size": bs,
@@ -89,10 +90,12 @@ def main(argv=None):
                    choices=["fused", "chunked"])
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--remat", type=str, default=None, choices=["none", "full"])
+    p.add_argument("--model", type=str, default=None, choices=["unet_3D", "vnet"])
     args = p.parse_args(argv)
     overrides = {k: v for k, v in
                  [("layout", args.layout), ("fecl_impl", args.fecl_impl),
-                  ("batch_size", args.batch_size), ("remat", args.remat)] if v is not None}
+                  ("batch_size", args.batch_size), ("remat", args.remat),
+                  ("model", args.model)] if v is not None}
     for name in args.configs:
         print(json.dumps(bench_one(name, args.iters, **overrides)), flush=True)
 

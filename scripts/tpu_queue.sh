@@ -30,5 +30,5 @@ run 05 conv_pallas   2400 python scripts/exp_conv_mxu2.py conv_pallas
 run 06 vnet_ncdhw    2400 python scripts/bench_train.py --configs pancreas --model vnet --layout NCDHW
 run 07 vnet_folded   2400 python scripts/bench_train.py --configs pancreas --model vnet --layout folded
 run 08 ckpt_stall    1800 python scripts/exp_ckpt_stall.py
-echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log
 run 09 step_profile  2400 python scripts/exp_step_profile.py --dataset pancreas
+echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--work", type=str, default="/tmp/ablation_runs")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--base_lr", type=float, default=0.01)
+    p.add_argument("--patch_size", type=int, nargs=3, default=(64, 64, 48))
+    p.add_argument("--val_every", type=int, default=None)
     args = p.parse_args()
 
     from dycon_paper_replication_tpu.data.synthetic import make_hard_pancreas
@@ -58,12 +60,12 @@ def main():
             root_dir=args.root,
             snapshot_root=os.path.join(args.work, arm),
             exp=f"hard_{arm}",
-            patch_size=(64, 64, 48),
+            patch_size=tuple(args.patch_size),
             batch_size=args.batch_size,
             labeled_bs=args.batch_size // 2,
             labelnum=args.labelnum,
             max_iterations=args.iters,
-            val_every=max(args.iters // 10, 100),
+            val_every=args.val_every or max(args.iters // 10, 100),
             save_every=args.iters,
             base_lr=args.base_lr,
             # consistency ramp scaled to the shorter run (reference uses
@@ -86,8 +88,9 @@ def main():
             "--exp", f"hard_{arm}",
             "--labelnum", str(args.labelnum),
             "--max_iterations", str(args.iters),
-            "--patch_size", "64", "64", "48",
-            "--stride_xy", "32", "--stride_z", "24",
+            "--patch_size", *[str(v) for v in args.patch_size],
+            "--stride_xy", str(args.patch_size[0] // 2),
+            "--stride_z", str(args.patch_size[2] // 2),
             "--list_name", "test.list",
         ])
         results[arm].update(dict(test_dice=float(dice), test_jaccard=float(jaccard),

@@ -31,4 +31,5 @@ run 06 vnet_ncdhw    2400 python scripts/bench_train.py --configs pancreas --mod
 run 07 vnet_folded   2400 python scripts/bench_train.py --configs pancreas --model vnet --layout folded
 run 08 ckpt_stall    1800 python scripts/exp_ckpt_stall.py
 run 09 step_profile  2400 python scripts/exp_step_profile.py --dataset pancreas
+run 10 ssl_ablation  9000 python scripts/exp_ssl_ablation.py --iters 2500 --labelnum 3
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log

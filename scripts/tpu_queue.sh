@@ -7,8 +7,11 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=.jax_cache
 mkdir -p /tmp/tpuq
 
+# Patient probe: killing a client mid-claim appears to leave a fresh
+# stale claim (self-perpetuating wedge — see CLAUDE.md), so give the
+# claim 15 min before declaring the relay wedged.
 probe() {
-  timeout 120 python -c "import jax; print(jax.devices())" >/dev/null 2>&1
+  timeout 900 python -c "import jax; print(jax.devices())" >/dev/null 2>&1
 }
 
 run() { # run NN name timeout cmd...

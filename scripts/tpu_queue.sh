@@ -3,10 +3,12 @@
 # probe between phases (the relay wedges if a TPU process is killed
 # mid-compile; see CLAUDE.md). Logs to /tmp/tpuq/NN_name.log.
 #
-# Ordered by value-per-TPU-minute: the conv microbenches decide whether
-# the Pallas kernel becomes the inference/training conv (cheap, gates
-# further perf work), then the SSL ablation (the round's key quality
-# evidence), then VNet perf rows / step profile / ckpt stall.
+# The conv microbenches from the first half of round 3 are done
+# (BASELINE.md "conv formulation study"). What remains, ordered by
+# value-per-TPU-minute with the round's key quality evidence first:
+# the SSL ablation (DyCON vs supervised on the hard task), VNet perf
+# rows + e2e quality drive, the step-cost decomposition, and the
+# checkpoint-stall measurement.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=.jax_cache
@@ -31,13 +33,11 @@ run() { # run NN name timeout cmd...
   echo "  -> rc=$? ($(date +%H:%M:%S))" | tee -a /tmp/tpuq/queue.log
 }
 
-run 01 conv_xla      2400 python scripts/exp_conv_mxu.py conv
-run 02 conv_pallas   2400 python scripts/exp_conv_mxu2.py conv_pallas
-run 03 conv_shift    2400 python scripts/exp_conv_mxu2.py conv_shift
-run 04 gemm8x        2400 python scripts/exp_conv_mxu.py gemm8x
-run 05 ssl_ablation  9000 python scripts/exp_ssl_ablation.py --iters 2500 --labelnum 3
+run 05 ssl_ablation  12000 python scripts/exp_ssl_ablation.py --iters 2500 --labelnum 3
 run 06 vnet_ncdhw    2400 python scripts/bench_train.py --configs pancreas --model vnet --layout NCDHW
 run 07 vnet_folded   2400 python scripts/bench_train.py --configs pancreas --model vnet --layout folded
-run 08 step_profile  2400 python scripts/exp_step_profile.py --dataset pancreas
-run 09 ckpt_stall    1800 python scripts/exp_ckpt_stall.py
+run 08 vnet_e2e      6000 python scripts/exp_vnet_e2e.py --iters 1000
+run 09 step_profile  2400 python scripts/exp_step_profile.py --dataset pancreas
+run 10 ckpt_stall    1800 python scripts/exp_ckpt_stall.py
+run 11 bench         1800 python bench.py
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log

@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard eval volumes round-robin over the first N "
                         "devices (0/1 = single device)")
+    p.add_argument("--group", type=int, default=0,
+                   help="batch N same-shape volumes per forward "
+                        "(0 = auto: 4 on TPU, 1 elsewhere); exact vs ungrouped")
     args = p.parse_args(argv)
     from .test_pancreas import resolve_perf_flags
 
@@ -67,10 +70,12 @@ def main(argv=None):
         print(f"Volume-parallel eval over {len(devices)} devices")
     wv = WholeVolumeInference(model, tuple(args.patch_size), devices=devices)
     results_file = os.path.join(snapshot_path, f"test_results_labelnum{args.labelnum}.txt")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    group = args.group or (4 if on_tpu else 1)
     summary = test_all_case_wholevolume(
         wv, state.params, state.model_state,
         iter_h5_volumes(ds.paths, label_key="mask"),
-        results_path=results_file,
+        results_path=results_file, group=group,
     )
     print("=" * 60)
     print("TESTING RESULTS FOR ISLES22")

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard patch chunks over N devices (0 = single device); "
                         "exact vs single-device (one psum pair per volume)")
+    p.add_argument("--group", type=int, default=0,
+                   help="pack N consecutive same-shape volumes per device program "
+                        "(0 = auto: 8 on TPU, 1 elsewhere); exact vs ungrouped — "
+                        "fills forward chunks across volume boundaries")
     return p
 
 
@@ -110,9 +114,12 @@ def run_test(args, dataset: str, volume_iter) -> tuple:
     sw = SlidingWindowInference(model, tuple(args.patch_size), args.stride_xy, args.stride_z,
                                 patch_batch=patch_batch, transfer_dtype=transfer, mesh=mesh)
     save_path = os.path.join(snapshot_path, f"{args.exp}_predictions")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    group = getattr(args, "group", 0) or (8 if on_tpu else 1)
     avg = test_all_case(
         sw, state.params, state.model_state, volume_iter,
         nms=bool(args.nms), metric_detail=bool(args.detail), test_save_path=save_path,
+        group=group,
     )
     print("=" * 60)
     print("FINAL AVERAGE METRICS:")

@@ -44,11 +44,15 @@ def iter_h5_volumes(
 
 
 def var_all_case(
-    sw: SlidingWindowInference, params, state, volumes: Iterable[tuple[np.ndarray, np.ndarray]]
+    sw: SlidingWindowInference, params, state,
+    volumes: Iterable[tuple[np.ndarray, np.ndarray]], *, group: int = 1,
 ) -> float:
-    """Mean Dice over the validation volumes (0 for empty predictions)."""
+    """Mean Dice over the validation volumes (0 for empty predictions).
+    `group` packs that many same-shape volumes per device program
+    (SlidingWindowInference.map)."""
     total, n = 0.0, 0
-    for pred, _, label in sw.map(params, state, ((img, lab) for img, lab in volumes)):
+    for pred, _, label in sw.map(params, state, ((img, lab) for img, lab in volumes),
+                                 group=group):
         total += metrics.dice(pred, label) if pred.sum() > 0 else 0.0
         n += 1
     return total / max(n, 1)
@@ -63,6 +67,7 @@ def test_all_case(
     nms: bool = False,
     metric_detail: bool = False,
     test_save_path: str | None = None,
+    group: int = 1,
 ) -> np.ndarray:
     """Average (dice, jaccard, hd95, asd) over the test volumes."""
     total = np.zeros(4)
@@ -70,7 +75,8 @@ def test_all_case(
     if metric_detail:
         print(f"{'ID':<3} | {'Dice':<8} | {'Jaccard':<8} | {'HD95':<8} | {'ASD':<8}")
         print("-" * 45)
-    for pred, _, label in sw.map(params, state, ((img, lab) for img, lab in volumes)):
+    for pred, _, label in sw.map(params, state, ((img, lab) for img, lab in volumes),
+                                 group=group):
         if nms:
             pred = metrics.largest_connected_component(pred)
         if pred.sum() == 0:
@@ -122,22 +128,25 @@ class WholeVolumeInference:
         self.devices = list(devices) if devices else None
         self._compiled: dict = {}
 
-    def _fn(self, shape):
-        if shape not in self._compiled:
+    def _fn(self, shape, batch: int = 1):
+        key = (shape, batch)
+        if key not in self._compiled:
             model = self.model
             head_idx = 0 if self.head == "sdf" else 1
 
             @jax.jit
-            def run(params, state, vol):
+            def run(params, state, vols):
+                # vols: (B, *shape, 1) — InstanceNorm is per-sample, so a
+                # batched forward is exact vs per-volume forwards
                 outputs, _ = model.apply(
-                    params, state, vol[None].astype(jnp.float32), train=False,
+                    params, state, vols.astype(jnp.float32), train=False,
                     with_projection=False
                 )
                 # u8 wire: 4x fewer D2H bytes than the i32 argmax
-                return jnp.argmax(outputs[head_idx][0], axis=-1).astype(jnp.uint8)
+                return jnp.argmax(outputs[head_idx], axis=-1).astype(jnp.uint8)
 
-            self._compiled[shape] = run
-        return self._compiled[shape]
+            self._compiled[key] = run
+        return self._compiled[key]
 
     def _pad(self, image: np.ndarray):
         """Symmetric pad (floor+1 convention of the ISLES trainer), then
@@ -153,26 +162,35 @@ class WholeVolumeInference:
         sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, image.shape))
         return padded.astype(np.float16)[..., None], bshape, sl
 
-    def _dispatch(self, params, state, image, device=None):
-        """Asynchronously launch one volume; returns (device_pred, unpad)."""
-        wire, bshape, sl = self._pad(np.asarray(image, np.float32))
-        x = jax.device_put(wire, device) if device is not None else jnp.asarray(wire)
-        return self._fn(bshape)(params, state, x), sl
+    def _dispatch_group(self, params, state, staged: list, device=None):
+        """Asynchronously launch a group of same-bucket-shape volumes;
+        staged items are (wire, unpad, label). Returns
+        (device_preds (B, *bshape) u8, [(unpad, label), ...])."""
+        wires = np.stack([w for w, _, _ in staged])  # (B, *bshape, 1)
+        bshape = staged[0][0].shape[:-1]
+        x = jax.device_put(wires, device) if device is not None else jnp.asarray(wires)
+        preds = self._fn(bshape, len(staged))(params, state, x)
+        return preds, [(sl, lab) for _, sl, lab in staged]
 
     def predict(self, params, state, image: np.ndarray) -> np.ndarray:
-        pred_dev, sl = self._dispatch(params, state, image)
-        return np.asarray(pred_dev)[sl]
+        wire, _, sl = self._pad(np.asarray(image, np.float32))
+        preds, _ = self._dispatch_group(params, state, [(wire, sl, None)])
+        return np.asarray(preds)[0][sl]
 
     def map(self, params, state, volumes: Iterable[tuple[np.ndarray, np.ndarray]],
-            depth: int = 2) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+            depth: int = 2, group: int = 1) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Yield (pred, label) per volume with H2D/compute/D2H overlap.
 
-        Keeps up to `depth` volumes in flight per device: dispatch is
+        Keeps up to `depth` dispatches in flight per device: dispatch is
         async (jax enqueues H2D + forward), so fetching volume i's
-        prediction overlaps volumes i+1.. computing.
+        prediction overlaps volumes i+1.. computing. `group` batches that
+        many same-shape volumes per forward (exact: InstanceNorm is
+        per-sample and the projection/BN head is skipped); a shape
+        change or the tail flushes a smaller batch.
         """
         from collections import deque
 
+        group = max(1, int(group))
         devices = self.devices or [None]
         placed: dict = {}
 
@@ -183,27 +201,48 @@ class WholeVolumeInference:
 
         pending: deque = deque()
         in_flight = depth * len(devices)
-        for i, (image, label) in enumerate(volumes):
-            d = devices[i % len(devices)]
+        buf: list = []
+        gi = 0
+
+        def flush():
+            nonlocal buf, gi
+            if not buf:
+                return
+            d = devices[gi % len(devices)]
+            gi += 1
             p, s = params_on(d)
-            pending.append(self._dispatch(p, s, image, d) + (label,))
-            while len(pending) > in_flight:
-                pred_dev, sl, lab = pending.popleft()
-                yield np.asarray(pred_dev)[sl], lab
-        while pending:
-            pred_dev, sl, lab = pending.popleft()
-            yield np.asarray(pred_dev)[sl], lab
+            pending.append(self._dispatch_group(p, s, buf, d))
+            buf = []
+
+        def drain(limit):
+            while len(pending) > limit:
+                preds_dev, metas = pending.popleft()
+                preds = np.asarray(preds_dev)  # one D2H per group
+                for i, (sl, lab) in enumerate(metas):
+                    yield preds[i][sl], lab
+
+        for image, label in volumes:
+            wire, _, sl = self._pad(np.asarray(image, np.float32))
+            if buf and wire.shape != buf[0][0].shape:
+                flush()
+            buf.append((wire, sl, label))
+            if len(buf) == group:
+                flush()
+            yield from drain(in_flight)
+        flush()
+        yield from drain(0)
 
     __call__ = predict
 
 
 def var_all_case_wholevolume(
-    wv: WholeVolumeInference, params, state, volumes: Iterable[tuple[np.ndarray, np.ndarray]]
+    wv: WholeVolumeInference, params, state,
+    volumes: Iterable[tuple[np.ndarray, np.ndarray]], *, group: int = 1,
 ) -> float:
     """ISLES in-training validation: mean soft Dice of argmax==1 vs gt==1
     (smooth=1 as in reference metrics.dice, train_DyCON_ISLES22.py:370)."""
     total, n = 0.0, 0
-    for pred, label in wv.map(params, state, volumes):
+    for pred, label in wv.map(params, state, volumes, group=group):
         p = (pred == 1).astype(np.float64)
         t = (label == 1).astype(np.float64)
         total += (2.0 * (p * t).sum() + 1.0) / (p.sum() + t.sum() + 1.0)
@@ -218,6 +257,7 @@ def test_all_case_wholevolume(
     volumes: Iterable[tuple[np.ndarray, np.ndarray]],
     *,
     results_path: str | None = None,
+    group: int = 1,
 ) -> dict:
     """ISLES offline test: per-case dice/hd95/asd/sensitivity/specificity
     with the reference's edge-case rules (test_ISLES22.py:98-163):
@@ -225,7 +265,7 @@ def test_all_case_wholevolume(
     hd95/asd = the volume-diagonal max distance, sens/spec per the
     empty side. Returns per-metric mean and std plus per-case rows."""
     rows = []
-    for pred, label in wv.map(params, state, volumes):
+    for pred, label in wv.map(params, state, volumes, group=group):
         p, t = pred == 1, label == 1
         if p.sum() == 0 and t.sum() == 0:
             case = dict(dice=1.0, hd95=0.0, asd=0.0, sensitivity=1.0, specificity=1.0)

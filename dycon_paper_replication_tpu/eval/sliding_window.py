@@ -24,6 +24,13 @@ H2D+D2H round trip per patch:
     list. (Padding by repeating an origin — the round-1 scheme — is NOT
     average-preserving where the repeated window overlaps other
     windows.)
+  * volumes of identical raw shape can be processed as a GROUP
+    (`map(..., group=V)`): one device program holds V canvases and one
+    origin list covering all V volumes, so forward chunks fill up across
+    volume boundaries. The BraTS protocol has 49 patches/volume; at
+    patch_batch 8 a single volume wastes 7/56 padded forward slots
+    (12.5%), while a group of 8 volumes is exactly 49 full chunks — zero
+    padding waste — and one dispatch amortizes per-volume host work.
 Duplicate origins produced by the clamped grid are deduplicated — the
 overlap average is invariant to multiplicity.
 """
@@ -31,7 +38,6 @@ overlap average is invariant to multiplicity.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +71,7 @@ class SlidingWindowInference:
 
     Usage: `label_map, score_map = sw(params, state, image)` with image a
     (D1, D2, D3) numpy volume; returns numpy (D1, D2, D3) int and float.
+    For many same-shape volumes use `sw.map(..., group=8)`.
     """
 
     def __init__(
@@ -94,14 +101,22 @@ class SlidingWindowInference:
         # the end. Near-linear scaling in devices for the dense protocols.
         self.mesh = mesh
         self._compiled: dict = {}
+        # ring of pooled host staging buffers per (V, raw_bucket) key:
+        # fresh >128KB numpy allocations pay mmap + page faults per group
+        # on this 1-core host (see data/pipeline.py); ring depth 3 covers
+        # the one-group-in-flight pipelining of `map`
+        self._host_pool: dict = {}
 
-    def _device_fn(self, raw_bucket_shape, bucket_shape, n_chunks: int, folded: bool):
-        # keyed ONLY on 32-quantized shapes + chunk count: volumes of any
-        # raw shape land on a handful of compiled programs (the reference
-        # dataset's per-case shape variety would otherwise recompile the
-        # whole scan+forward program per case). The centered patch-pad
-        # offset enters as a DYNAMIC operand, so it never splits the cache.
-        key = (raw_bucket_shape, bucket_shape, n_chunks, folded)
+    def _device_fn(
+        self, raw_bucket_shape, bucket_shape, n_chunks: int, folded: bool, n_vol: int
+    ):
+        # keyed ONLY on 32-quantized shapes + chunk count + group size:
+        # volumes of any raw shape land on a handful of compiled programs
+        # (the reference dataset's per-case shape variety would otherwise
+        # recompile the whole scan+forward program per case). The centered
+        # patch-pad offset enters as a DYNAMIC operand, so it never splits
+        # the cache.
+        key = (raw_bucket_shape, bucket_shape, n_chunks, folded, n_vol)
         if key in self._compiled:
             return self._compiled[key]
         patch = self.patch
@@ -110,22 +125,25 @@ class SlidingWindowInference:
         mesh = self.mesh
         vol_shape = bucket_shape
 
-        def accum_plain(params, state, volume, origins, weights):
+        def accum_plain(params, state, volume, vol_idx, origins, weights):
             """Scatter-add softmax probs of `origins`' patches into fresh
-            score/count maps. volume: (*vol_shape, 1); origins (K, 3);
-            weights (K,) f32 — 1 for true origins, 0 for chunk padding."""
-            score = jnp.zeros(vol_shape, jnp.float32)
-            cnt = jnp.zeros(vol_shape, jnp.float32)
+            score/count maps. volume: (V, *vol_shape, 1); vol_idx (K,)
+            i32 volume slot per origin; origins (K, 3); weights (K,) f32
+            — 1 for true origins, 0 for chunk padding."""
+            score = jnp.zeros((n_vol,) + vol_shape, jnp.float32)
+            cnt = jnp.zeros((n_vol,) + vol_shape, jnp.float32)
 
-            def gather(origin):
+            def gather(vi, origin):
                 return jax.lax.dynamic_slice(
-                    volume, (origin[0], origin[1], origin[2], 0), patch + (1,)
-                )
+                    volume,
+                    (vi, origin[0], origin[1], origin[2], 0),
+                    (1,) + patch + (1,),
+                )[0]
 
             def chunk_body(carry, xs):
                 score, cnt = carry
-                chunk_origins, w = xs
-                patches = jax.vmap(gather)(chunk_origins)  # (B, *patch, 1)
+                chunk_vi, chunk_origins, w = xs
+                patches = jax.vmap(gather)(chunk_vi, chunk_origins)  # (B, *patch, 1)
                 (_, logits, _), _ = model.apply(
                     params, state, patches, train=False, with_projection=False
                 )
@@ -133,77 +151,90 @@ class SlidingWindowInference:
 
                 def add_one(inner, op):
                     sc, ct = inner
-                    origin, prob, wi = op
-                    o = (origin[0], origin[1], origin[2])
-                    win = jax.lax.dynamic_slice(sc, o, patch)
-                    sc = jax.lax.dynamic_update_slice(sc, win + wi * prob, o)
-                    wct = jax.lax.dynamic_slice(ct, o, patch)
+                    vi, origin, prob, wi = op
+                    o = (vi, origin[0], origin[1], origin[2])
+                    win = jax.lax.dynamic_slice(sc, o, (1,) + patch)
+                    sc = jax.lax.dynamic_update_slice(sc, win + wi * prob[None], o)
+                    wct = jax.lax.dynamic_slice(ct, o, (1,) + patch)
                     ct = jax.lax.dynamic_update_slice(ct, wct + wi, o)
                     return (sc, ct), None
 
                 (score, cnt), _ = jax.lax.scan(
-                    add_one, (score, cnt), (chunk_origins, probs, w)
+                    add_one, (score, cnt), (chunk_vi, chunk_origins, probs, w)
                 )
                 return (score, cnt), None
 
-            chunks = (origins.reshape(-1, B, 3), weights.reshape(-1, B))
+            chunks = (
+                vol_idx.reshape(-1, B),
+                origins.reshape(-1, B, 3),
+                weights.reshape(-1, B),
+            )
             (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
             return score, cnt
 
-        def accum_folded(params, state, vol_f, origins, weights):
-            """Folded-space accumulator: vol_f (G1, G2, G3, 8) fold-2
+        def accum_folded(params, state, vol_f, vol_idx, origins, weights):
+            """Folded-space accumulator: vol_f (V, G1, G2, G3, 8) fold-2
             canvas, origins (K, 3) in UNFOLDED (even) coordinates,
             weights (K,) chunk-padding mask. Foreground prob for the
             2-class head is softmax[..., 1] == sigmoid(l1 - l0), computed
             on folded class-major lanes (class c occupies lanes
             8c..8c+7) — the (.., 2)-minor softmax tensor XLA would
             lane-pad 64x is never materialized."""
-            grid = vol_f.shape[:3]
+            grid = vol_f.shape[1:4]
             patch_f = tuple(p // 2 for p in patch)
-            score = jnp.zeros(grid + (8,), jnp.float32)
-            cnt = jnp.zeros(grid + (8,), jnp.float32)
+            score = jnp.zeros((n_vol,) + grid + (8,), jnp.float32)
+            cnt = jnp.zeros((n_vol,) + grid + (8,), jnp.float32)
 
-            def gather(origin):
+            def gather(vi, origin):
                 return jax.lax.dynamic_slice(
-                    vol_f, (origin[0], origin[1], origin[2], 0), patch_f + (8,)
-                )
+                    vol_f,
+                    (vi, origin[0], origin[1], origin[2], 0),
+                    (1,) + patch_f + (8,),
+                )[0]
 
             def chunk_body(carry, xs):
                 score, cnt = carry
-                chunk_origins, w = xs
+                chunk_vi, chunk_origins, w = xs
                 fo = chunk_origins // 2
-                patches = jax.vmap(gather)(fo)  # (B, *patch_f, 8)
+                patches = jax.vmap(gather)(chunk_vi, fo)  # (B, *patch_f, 8)
                 seg_f = model.apply_seg_folded(params, state, patches)
                 probs = jax.nn.sigmoid(seg_f[..., 8:16] - seg_f[..., 0:8])
 
                 def add_one(inner, op):
                     sc, ct = inner
-                    origin, prob, wi = op
-                    o = (origin[0], origin[1], origin[2], 0)
-                    win = jax.lax.dynamic_slice(sc, o, patch_f + (8,))
-                    sc = jax.lax.dynamic_update_slice(sc, win + wi * prob, o)
-                    wct = jax.lax.dynamic_slice(ct, o, patch_f + (8,))
+                    vi, origin, prob, wi = op
+                    o = (vi, origin[0], origin[1], origin[2], 0)
+                    win = jax.lax.dynamic_slice(sc, o, (1,) + patch_f + (8,))
+                    sc = jax.lax.dynamic_update_slice(sc, win + wi * prob[None], o)
+                    wct = jax.lax.dynamic_slice(ct, o, (1,) + patch_f + (8,))
                     ct = jax.lax.dynamic_update_slice(ct, wct + wi, o)
                     return (sc, ct), None
 
-                (score, cnt), _ = jax.lax.scan(add_one, (score, cnt), (fo, probs, w))
+                (score, cnt), _ = jax.lax.scan(
+                    add_one, (score, cnt), (chunk_vi, fo, probs, w)
+                )
                 return (score, cnt), None
 
-            chunks = (origins.reshape(-1, B, 3), weights.reshape(-1, B))
+            chunks = (
+                vol_idx.reshape(-1, B),
+                origins.reshape(-1, B, 3),
+                weights.reshape(-1, B),
+            )
             (score, cnt), _ = jax.lax.scan(chunk_body, (score, cnt), chunks)
             return score, cnt
 
         def maybe_sharded(accum):
-            """Mesh mode: params/state/canvas replicated, origins sharded
-            over 'data' — each device scatter-adds its own chunks into
-            device-local maps; ONE psum pair combines them (overlap-add
-            is order-independent addition, so sharding is exact)."""
+            """Mesh mode: params/state/canvas replicated, origins (and
+            their volume slots) sharded over 'data' — each device
+            scatter-adds its own chunks into device-local maps; ONE psum
+            pair combines them (overlap-add is order-independent
+            addition, so sharding is exact)."""
             if mesh is None:
                 return accum
             from jax.sharding import PartitionSpec as P
 
-            def combined(params, state, canvas, origins, weights):
-                s, c = accum(params, state, canvas, origins, weights)
+            def combined(params, state, canvas, vol_idx, origins, weights):
+                s, c = accum(params, state, canvas, vol_idx, origins, weights)
                 return jax.lax.psum(s, "data"), jax.lax.psum(c, "data")
 
             # check_vma=False: the zero-initialized scan carries inside
@@ -212,7 +243,7 @@ class SlidingWindowInference:
             # sharded==single-device tests
             return jax.shard_map(
                 combined, mesh=mesh,
-                in_specs=(P(), P(), P(), P("data"), P("data")),
+                in_specs=(P(), P(), P(), P("data"), P("data"), P("data")),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
@@ -220,48 +251,79 @@ class SlidingWindowInference:
         accum_fn = maybe_sharded(accum_folded if folded else accum_plain)
 
         @jax.jit
-        def run(params, state, raw, offsets, origins, weights):
-            # raw: (*raw_bucket_shape,) transfer dtype; offsets: (3,) i32
-            # placement of the raw volume inside the padded canvas;
-            # origins: (n_chunks*B, 3); weights: (n_chunks*B,) 1/0 true-
-            # origin mask. In folded mode the canvas is folded ONCE
+        def run(params, state, raw, offsets, vol_idx, origins, weights):
+            # raw: (V, *raw_bucket_shape) transfer dtype; offsets: (3,)
+            # i32 placement of the raw volumes inside the padded canvas
+            # (shared — a group requires identical raw shapes);
+            # vol_idx: (n_chunks*B,) volume slot per origin; origins:
+            # (n_chunks*B, 3); weights: (n_chunks*B,) 1/0 true-origin
+            # mask. In folded mode the canvas group is folded ONCE
             # (fold-2 space-to-depth, ops/folding.py), the whole
             # gather/forward/scatter pipeline runs in folded layout, and
-            # the score unfolds ONCE at the end.
+            # the scores unfold ONCE at the end.
             volume = jax.lax.dynamic_update_slice(
-                jnp.zeros(vol_shape, jnp.float32),
+                jnp.zeros((n_vol,) + vol_shape, jnp.float32),
                 raw.astype(jnp.float32),
-                (offsets[0], offsets[1], offsets[2]),
+                (0, offsets[0], offsets[1], offsets[2]),
             )[..., None]
             if folded:
                 from ..ops.folding import fold2, unfold2
 
-                canvas = fold2(volume[None])[0]  # (G1, G2, G3, 8)
+                canvas = fold2(volume)  # (V, G1, G2, G3, 8)
             else:
                 canvas = volume
-            score, cnt = accum_fn(params, state, canvas, origins, weights)
+            score, cnt = accum_fn(params, state, canvas, vol_idx, origins, weights)
             score = score / jnp.maximum(cnt, 1e-12)
             if folded:
-                score = unfold2(score[None])[0, ..., 0]  # (D1, D2, D3)
+                score = unfold2(score)[..., 0]  # (V, D1, D2, D3)
             # un-pad on device (dynamic slice back to the raw-bucket
             # window) and compute the uint8 label there too: the common
             # consumer only needs the thresholded map, and u8 is 4x
             # cheaper to bring back to host
             score = jax.lax.dynamic_slice(
-                score, (offsets[0], offsets[1], offsets[2]), raw_bucket_shape
+                score,
+                (0, offsets[0], offsets[1], offsets[2]),
+                (n_vol,) + raw_bucket_shape,
             )
             return (score > 0.5).astype(jnp.uint8), score
 
         self._compiled[key] = run
         return self._compiled[key]
 
-    def dispatch(self, params, state, image: np.ndarray):
-        """Enqueue H2D + the device program without blocking. Returns
-        ((label_dev, score_dev), unpad_slices): device arrays are
-        bucket-shaped; apply `unpad_slices` after fetching. Enables
-        volume-level pipelining (`map`)."""
-        image = np.asarray(image, self.transfer_dtype)
-        raw_shape = image.shape
+    def _stage_host(self, images, raw_bucket) -> np.ndarray:
+        """Copy same-shape volumes into a pooled (V, *raw_bucket) staging
+        buffer (ring of 3 — one group in flight plus slack). Keyed by the
+        exact RAW shape, not the bucket: distinct raw shapes can share a
+        32-quantized bucket, and a shared buffer would leak the previous
+        (larger) volume's voxels into the new one's alignment margin.
+        Per-raw-shape, the margin is zeroed once at allocation and never
+        written again, so steady-state groups pay only the memcpy."""
+        v = len(images)
+        raw_shape = images[0].shape
+        key = (v, raw_shape, np.dtype(self.transfer_dtype).str)
+        if key not in self._host_pool:
+            self._host_pool[key] = [
+                [np.zeros((v,) + raw_bucket, self.transfer_dtype) for _ in range(3)],
+                0,
+            ]
+        entry = self._host_pool[key]
+        entry[1] = (entry[1] + 1) % len(entry[0])
+        buf = entry[0][entry[1]]
+        view = buf[:, : raw_shape[0], : raw_shape[1], : raw_shape[2]]
+        for i, img in enumerate(images):
+            np.copyto(view[i], img, casting="unsafe")
+        return buf
+
+    def _dispatch_many(self, params, state, images: list[np.ndarray]):
+        """Enqueue H2D + the device program for a group of SAME-SHAPE
+        volumes without blocking. Returns ((label_dev, score_dev),
+        unpad_slices): device arrays are (V, *raw_bucket)-shaped; apply
+        `unpad_slices` per volume after fetching. Enables volume-level
+        pipelining (`map`)."""
+        raw_shape = images[0].shape
+        if any(im.shape != raw_shape for im in images):
+            raise ValueError("grouped dispatch requires identical volume shapes")
+        v = len(images)
 
         # centered pad up to patch size (reference pad rule)
         pads = tuple(
@@ -282,18 +344,27 @@ class SlidingWindowInference:
             max(_round_up(max(t, lo + rb), self.shape_bucket), p)
             for t, (lo, _), rb, p in zip(true_shape, pads, raw_bucket, self.patch)
         )
-        raw_b = np.pad(image, [(0, rb - s) for s, rb in zip(raw_shape, raw_bucket)])
+        raw_b = self._stage_host(images, raw_bucket)
         offsets = np.array([lo for lo, _ in pads], np.int32)
 
-        # pad the origin list to a whole number of chunks (x devices in
-        # mesh mode) with ZERO-WEIGHT entries: padded patches run but add
-        # nothing to score or count (repeating an origin would skew the
-        # overlap average wherever its window overlaps other windows)
+        # one origin list covering the whole group, volume-major; then pad
+        # to a whole number of chunks (x devices in mesh mode) with
+        # ZERO-WEIGHT entries: padded patches run but add nothing to score
+        # or count (repeating an origin would skew the overlap average
+        # wherever its window overlaps other windows)
         n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
-        k_bucket = _round_up(k, self.patch_batch * n_shards)
-        origins_b = np.concatenate([origins, np.tile(origins[-1:], (k_bucket - k, 1))], axis=0)
+        k_all = k * v
+        k_bucket = _round_up(k_all, self.patch_batch * n_shards)
+        origins_g = np.tile(origins, (v, 1))
+        vol_idx = np.repeat(np.arange(v, dtype=np.int32), k)
+        origins_b = np.concatenate(
+            [origins_g, np.tile(origins[-1:], (k_bucket - k_all, 1))], axis=0
+        )
+        vol_idx_b = np.concatenate(
+            [vol_idx, np.zeros((k_bucket - k_all,), np.int32)], axis=0
+        )
         weights_b = np.zeros((k_bucket,), np.float32)
-        weights_b[:k] = 1.0
+        weights_b[:k_all] = 1.0
         # Folded fast path: model exposes a folded-IO seg head (2-class
         # unet_3D with layout="folded") and this volume's patch grid is
         # fold-2 aligned. Odd origins (odd raw shapes) fall back to the
@@ -304,15 +375,22 @@ class SlidingWindowInference:
             and all(p % 16 == 0 for p in self.patch)
             and not (origins % 2).any()
         )
-        run = self._device_fn(raw_bucket, bucket_shape, k_bucket // self.patch_batch, folded)
+        run = self._device_fn(
+            raw_bucket, bucket_shape, k_bucket // self.patch_batch, folded, v
+        )
         out = run(
             params, state, jnp.asarray(raw_b), jnp.asarray(offsets),
-            jnp.asarray(origins_b), jnp.asarray(weights_b),
+            jnp.asarray(vol_idx_b), jnp.asarray(origins_b), jnp.asarray(weights_b),
         )
-        # device arrays are raw_bucket-shaped; only the 32-alignment
-        # margin remains to strip on host
+        # device arrays are (V, *raw_bucket)-shaped; only the
+        # 32-alignment margin remains to strip on host
         unpad = tuple(slice(0, s) for s in raw_shape)
         return out, unpad
+
+    def dispatch(self, params, state, image: np.ndarray):
+        """Single-volume `_dispatch_many` (device arrays keep the
+        leading group axis of size 1)."""
+        return self._dispatch_many(params, state, [np.asarray(image, self.transfer_dtype)])
 
     def __call__(
         self, params, state, image: np.ndarray, *, return_score: bool = True
@@ -320,29 +398,68 @@ class SlidingWindowInference:
         """Returns (label_map int64, score_map f32). With
         `return_score=False` the score stays on device (None returned) —
         saves a volume-sized D2H when only the label is consumed."""
-        label, score, = self._finish((self.dispatch(params, state, image), ()), return_score)[:2]
+        entry = (self.dispatch(params, state, image), [()])
+        label, score = next(self._finish(entry, return_score))[:2]
         return label, score
 
-    def map(self, params, state, volumes, *, return_score: bool = False):
+    def map(self, params, state, volumes, *, return_score: bool = False, group: int = 1):
         """Pipelined inference over an iterable of (image, ...) items.
 
-        Yields (label_map, score_or_None, *rest) per input item. The next
-        volume's transfer + compute are enqueued before the current one's
-        result is fetched, hiding host<->device latency behind compute.
+        Yields (label_map, score_or_None, *rest) per input item, in input
+        order. The next item's transfer + compute are enqueued before the
+        current one's result is fetched, hiding host<->device latency
+        behind compute.
+
+        `group > 1` packs that many consecutive SAME-SHAPE volumes into
+        one device program so forward chunks fill across volume
+        boundaries (zero chunk-padding waste when group*K % patch_batch
+        == 0). A shape change or the iterator's tail flushes a smaller
+        group, which falls back to per-volume dispatch so the compiled-
+        program set stays {group, 1}.
         """
-        pending = None  # ((device_result, unpad), rest)
-        for item in volumes:
-            image, *rest = item if isinstance(item, tuple) else (item,)
-            dispatched = (self.dispatch(params, state, image), rest)
+        group = max(1, int(group))
+
+        def entries():
+            buf: list = []
+
+            def flush():
+                nonlocal buf
+                if len(buf) == group:
+                    yield (
+                        self._dispatch_many(params, state, [b[0] for b in buf]),
+                        [b[1] for b in buf],
+                    )
+                else:
+                    for image, rest in buf:
+                        yield (self._dispatch_many(params, state, [image]), [rest])
+                buf = []
+
+            for item in volumes:
+                image, *rest = item if isinstance(item, tuple) else (item,)
+                image = np.asarray(image, self.transfer_dtype)
+                if buf and image.shape != buf[0][0].shape:
+                    yield from flush()
+                buf.append((image, tuple(rest)))
+                if len(buf) == group:
+                    yield from flush()
+            yield from flush()
+
+        pending = None
+        for entry in entries():
             if pending is not None:
-                yield self._finish(pending, return_score)
-            pending = dispatched
+                yield from self._finish(pending, return_score)
+            pending = entry
         if pending is not None:
-            yield self._finish(pending, return_score)
+            yield from self._finish(pending, return_score)
 
     @staticmethod
-    def _finish(pending, return_score):
-        ((label_d, score_d), unpad), rest = pending
-        label = np.asarray(label_d)[unpad].astype(np.int64)
-        score = np.asarray(score_d)[unpad] if return_score else None
-        return (label, score, *rest)
+    def _finish(entry, return_score):
+        ((label_d, score_d), unpad), rests = entry
+        label = np.asarray(label_d)  # one D2H for the whole group
+        score = np.asarray(score_d) if return_score else None
+        for i, rest in enumerate(rests):
+            yield (
+                label[i][unpad].astype(np.int64),
+                score[i][unpad] if return_score else None,
+                *rest,
+            )

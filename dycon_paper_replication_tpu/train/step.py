@@ -251,9 +251,11 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
             # a single D2H (high-latency links make per-scalar fetches the
             # hot-loop bottleneck); order = SCALAR_METRICS
             "scalars": scalar_vec,
-            # u8 wire: the host only thresholds this for HD95 — 4x fewer
-            # D2H bytes than f32 over the slow relay link
-            "pred_fg": pred_fg.astype(jnp.uint8),
+            # bit-packed wire: the host only needs the binary mask for
+            # HD95 — 32x fewer D2H bytes than f32 over the slow relay
+            # link (unpack with np.unpackbits(..., axis=-1,
+            # bitorder="little"); last axis padded to a byte multiple)
+            "pred_fg_bits": _packbits(pred_fg),
             # device-resident diagnostics; transferred only when consumed
             "embedding": jax.lax.stop_gradient(aux["embedding"]),
             "mask_con": aux["mask_con"],
@@ -261,6 +263,20 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         return new_state, metrics
 
     return train_step
+
+
+def _packbits(x):
+    """Pack a 0/1 float or int array into uint8 along the LAST axis,
+    little-endian bit order (numpy `np.unpackbits(..., axis=-1,
+    bitorder="little")` inverts it). The last axis pads up to a byte
+    multiple; consumers slice back to the true extent."""
+    w = x.shape[-1]
+    pad = (-w) % 8
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xb = x.reshape(x.shape[:-1] + (-1, 8)).astype(jnp.int32)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return jnp.sum(xb * weights, axis=-1).astype(jnp.uint8)
 
 
 # order of the packed per-step scalar metrics returned by train_step

@@ -37,6 +37,10 @@ def main():
     p.add_argument("--base_lr", type=float, default=0.01)
     p.add_argument("--patch_size", type=int, nargs=3, default=(64, 64, 48))
     p.add_argument("--val_every", type=int, default=None)
+    p.add_argument("--test_only", action="store_true",
+                   help="skip training; dense-eval the existing best "
+                        "checkpoints under --work (resume after a crash "
+                        "in the test phase)")
     args = p.parse_args()
 
     from dycon_paper_replication_tpu.data.synthetic import make_hard_pancreas
@@ -53,8 +57,8 @@ def main():
         "dycon": dict(),
     }
 
-    results = {}
-    for arm in args.arms.split(","):
+    results = {arm: {} for arm in args.arms.split(",")}
+    for arm in () if args.test_only else args.arms.split(","):
         cfg = make_config(
             "pancreas",
             root_dir=args.root,

@@ -41,6 +41,10 @@ def main():
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--rows", nargs="*", default=None,
                    help="subset of rows (fwd_student fwd_both fwd_loss grad full_step)")
+    p.add_argument("--remat", type=str, default="full", choices=["none", "full"],
+                   help="'none' skips the backward's forward recompute "
+                        "(folded bf16 activations may now fit 16GB where "
+                        "round-1 NDHWC f32 OOMed)")
     args = p.parse_args()
 
     import jax
@@ -51,7 +55,7 @@ def main():
     from dycon_paper_replication_tpu.train.state import create_train_state, make_optimizer
     from dycon_paper_replication_tpu.train.step import StepScalars, build_train_step
 
-    cfg = make_config(args.dataset, compute_dtype="bfloat16", remat="full",
+    cfg = make_config(args.dataset, compute_dtype="bfloat16", remat=args.remat,
                       **CONFIGS[args.dataset])
     model = net_factory_3d(cfg.model, in_chns=cfg.in_ch, class_num=cfg.num_classes,
                            scaler=cfg.feature_scaler, compute_dtype=jnp.bfloat16,
@@ -104,11 +108,12 @@ def main():
     rows = {
         "fwd_student": lambda: fwd_student(state.params, state.model_state),
         "fwd_both": lambda: fwd_both(state.params, state.model_state,
-                                     state.teacher_params, state.teacher_model_state),
+                                     state.teacher_params, state.teacher_state),
         "full_step": lambda: full(state, {"image": image, "label": labels}, key, sc)[1],
     }
     sel = args.rows or list(rows)
-    print(f"# layout={cfg.resolved_layout()} patch={ps} bs={bs}", file=sys.stderr, flush=True)
+    print(f"# layout={cfg.resolved_layout()} patch={ps} bs={bs} remat={cfg.remat}",
+          file=sys.stderr, flush=True)
     for name in sel:
         timed(name, rows[name])
 

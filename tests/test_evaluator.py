@@ -22,7 +22,7 @@ class StubSW:
         self.i += 1
         return p, None
 
-    def map(self, params, state, volumes, *, return_score=False):
+    def map(self, params, state, volumes, *, return_score=False, group=1):
         for item in volumes:
             image, *rest = item if isinstance(item, tuple) else (item,)
             pred, score = self(params, state, image, return_score=return_score)
@@ -73,9 +73,33 @@ class StubWV:
         self.i += 1
         return p
 
-    def map(self, params, state, volumes, depth=2):
+    def map(self, params, state, volumes, depth=2, group=1):
         for image, label in volumes:
             yield self.predict(params, state, image), label
+
+
+class TestWholeVolumeGrouping:
+    """Batched (group>1) whole-volume inference must equal per-volume
+    prediction exactly — InstanceNorm is per-sample and the BN projection
+    head is skipped — and preserve input order through shape changes."""
+
+    def test_group_matches_singles(self, rng):
+        import jax
+
+        from dycon_paper_replication_tpu.eval.evaluator import WholeVolumeInference
+        from dycon_paper_replication_tpu.models import net_factory_3d
+
+        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2)
+        params, state = model.init(jax.random.key(0))
+        wv = WholeVolumeInference(model, (16, 16, 16))
+        vols = [rng.normal(size=(16, 16, 16)).astype(np.float32) for _ in range(3)]
+        vols.append(rng.normal(size=(16, 16, 32)).astype(np.float32))  # shape change
+        labels = [np.zeros(v.shape, np.uint8) for v in vols]
+        singles = [wv.predict(params, state, v) for v in vols]
+        grouped = list(wv.map(params, state, zip(vols, labels), group=2))
+        assert len(grouped) == len(vols)
+        for want, (got, _) in zip(singles, grouped):
+            np.testing.assert_array_equal(got, want)
 
 
 class TestWholeVolumeEdgeCases:

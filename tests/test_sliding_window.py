@@ -141,6 +141,71 @@ class TestFoldedPipeline:
         assert bool(np.isfinite(score).all())
 
 
+class TestGroupedMap:
+    """`map(..., group=V)` packs V same-shape volumes into one device
+    program (forward chunks fill across volume boundaries). Results must
+    equal per-volume inference exactly, in input order, including tails
+    and shape changes that flush a partial group."""
+
+    def test_group_matches_singles(self, sw_bundle, rng):
+        model, params, state = sw_bundle
+        vols = [rng.normal(size=(24, 20, 16)).astype(np.float32) for _ in range(5)]
+        sw = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=3)
+        singles = [sw(params, state, v) for v in vols]
+        # group=2 over 5 volumes: two full groups + a 1-volume tail
+        grouped = list(
+            sw.map(params, state, ((v, i) for i, v in enumerate(vols)),
+                   return_score=True, group=2)
+        )
+        assert [g[2] for g in grouped] == [0, 1, 2, 3, 4]
+        assert any(k[4] == 2 for k in sw._compiled), "no grouped program compiled"
+        for (label_s, score_s), (label_g, score_g, _) in zip(singles, grouped):
+            np.testing.assert_allclose(score_g, score_s, atol=2e-5)
+            np.testing.assert_array_equal(label_g, label_s)
+
+    def test_group_matches_singles_folded(self, rng):
+        model = net_factory_3d("unet_3D", in_chns=1, class_num=2, scaler=2,
+                               layout="folded")
+        params, state = model.init(jax.random.key(0))
+        vols = [rng.normal(size=(24, 20, 16)).astype(np.float32) for _ in range(4)]
+        sw = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=3)
+        singles = [sw(params, state, v) for v in vols]
+        grouped = list(sw.map(params, state, iter(vols), return_score=True, group=4))
+        assert any(k[3] and k[4] == 4 for k in sw._compiled), "folded group program not used"
+        for (label_s, score_s), (label_g, score_g) in zip(singles, grouped):
+            np.testing.assert_allclose(score_g, score_s, atol=2e-5)
+            np.testing.assert_array_equal(label_g, label_s)
+
+    def test_shape_change_flushes_group(self, sw_bundle, rng):
+        model, params, state = sw_bundle
+        vols = [
+            rng.normal(size=(24, 20, 16)).astype(np.float32),
+            rng.normal(size=(20, 20, 16)).astype(np.float32),  # flush at 1
+            rng.normal(size=(20, 20, 16)).astype(np.float32),
+        ]
+        sw = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2)
+        singles = [sw(params, state, v) for v in vols]
+        grouped = list(sw.map(params, state, iter(vols), return_score=True, group=2))
+        assert len(grouped) == 3
+        for (label_s, score_s), (label_g, score_g) in zip(singles, grouped):
+            np.testing.assert_allclose(score_g, score_s, atol=2e-5)
+
+    def test_host_pool_no_stale_margin_across_shapes(self, sw_bundle, rng):
+        """Two distinct raw shapes can share a 32-quantized staging
+        bucket; the pooled buffer must not leak the first (larger)
+        volume's voxels into the second's alignment margin. Regression:
+        the pool was originally keyed by bucket, not raw shape."""
+        model, params, state = sw_bundle
+        sw = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2)
+        big = np.full((24, 24, 16), 50.0, np.float32)  # poisons any shared margin
+        small = rng.normal(size=(17, 24, 16)).astype(np.float32)
+        sw(params, state, big)
+        _, score_after = sw(params, state, small)
+        fresh = SlidingWindowInference(model, (16, 16, 16), 8, 8, patch_batch=2)
+        _, score_fresh = fresh(params, state, small)
+        np.testing.assert_allclose(score_after, score_fresh, atol=2e-5)
+
+
 class TestMeshSharding:
     """Mesh mode shards patch chunks over the 'data' axis and psums the
     partial score/count maps — results must equal the single-device

@@ -15,10 +15,14 @@ config.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
 
 
 def run_config(patch_batch: int, group: int, n_iters: int | None = None) -> dict:

@@ -125,7 +125,9 @@ class TrainConfig:
 
         if jax.devices()[0].platform != "tpu":
             return "NDHWC"
-        return "folded" if self.model == "unet_3D" else "NCDHW"
+        # both model families have fold-2 engines; measured wins on the
+        # v5e: unet_3D 506 vs 955 ms/step, vnet 289.9 vs 574.5 (BASELINE.md)
+        return "folded" if self.model in ("unet_3D", "vnet") else "NCDHW"
 
     def snapshot_path(self) -> str:
         """Hyperparameter-encoded run directory. Mirrors the reference's
@@ -155,14 +157,16 @@ DATASET_DEFAULTS: dict[str, dict[str, Any]] = {
         patch_size=(112, 112, 96), feature_scaler=2, labelnum=12,
         batch_size=8, labeled_bs=4, lr_schedule="const",
         teacher_train_mode=True, dice_loss_kind="binary", mask_kernel_mode="fixed",
-        remat="full",
+        # remat defaults to "none": folded bf16 activations fit the 16GB
+        # v5e at canonical geometry and the step is 17-30% faster
+        # (Pancreas 498.9->416.3, BraTS 470->329.8 ms; BASELINE.md). The
+        # round-1 OOM that forced remat=full was NDHWC f32.
     ),
     "brats19": dict(
         root_dir="../data/BraTS2019", exp="BraTS2019", dataset="brats19",
         patch_size=(96, 96, 96), feature_scaler=2, labelnum=25,
         batch_size=8, labeled_bs=4, lr_schedule="const",
         teacher_train_mode=True, dice_loss_kind="binary", mask_kernel_mode="fixed",
-        remat="full",
     ),
     "isles22": dict(
         root_dir="../data/ISLES22", exp="ISLES22", dataset="isles22",

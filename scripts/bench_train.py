@@ -42,8 +42,8 @@ def bench_one(dataset: str, iters: int = 5, **overrides) -> dict:
         unpack_scalars,
     )
 
-    cfg = make_config(dataset, compute_dtype="bfloat16", remat="full",
-                      **{**CONFIGS[dataset], **overrides})
+    cfg = make_config(dataset, **{**dict(compute_dtype="bfloat16"),
+                                  **CONFIGS[dataset], **overrides})
     model = net_factory_3d(
         cfg.model, in_chns=cfg.in_ch, class_num=cfg.num_classes,
         scaler=cfg.feature_scaler, compute_dtype=jnp.bfloat16, layout=cfg.resolved_layout(),

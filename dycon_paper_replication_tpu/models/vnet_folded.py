@@ -44,7 +44,6 @@ from .vnet import (
     vnet_projection,
 )
 from ..ops.folding import (
-    _SUBS,
     batch_norm_folded,
     conv1x1_folded,
     fold2_phase1,

@@ -15,7 +15,7 @@ sagittal->axial transpose is folded into the window mapping.
 from __future__ import annotations
 
 import os
-from typing import Callable, Sequence
+from typing import Sequence
 
 import h5py
 import numpy as np

@@ -17,7 +17,7 @@ variants mirroring train_DyCON_ISLES22.py:345-389 / test_ISLES22.py.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import h5py
 import jax

@@ -9,7 +9,7 @@ SURVEY.md §7 faithfulness ledger).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ inputs; accumulations stay f32 via preferred_element_type.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any
 
 import jax

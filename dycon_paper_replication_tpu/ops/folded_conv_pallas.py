@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .folding import _SUBS, fold_bias, fold_conv3_weights
+from .folding import fold_bias, fold_conv3_weights
 
 
 def _kernel(x0_ref, x1_ref, w_ref, o_ref, acc_ref, *, to_phase: int,

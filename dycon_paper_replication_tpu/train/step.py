@@ -19,9 +19,7 @@ Batch layout: image (B, D1, D2, D3, C) f32, label (B, D1, D2, D3) i32.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Callable, NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Callable, Iterable
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -37,6 +37,10 @@ def main():
     p.add_argument("--base_lr", type=float, default=0.01)
     p.add_argument("--patch_size", type=int, nargs=3, default=(64, 64, 48))
     p.add_argument("--val_every", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="trainer seed (init + sampling); the dataset stays "
+                        "fixed so a second seed isolates training "
+                        "stochasticity for the reproducibility check")
     p.add_argument("--test_only", action="store_true",
                    help="skip training; dense-eval the existing best "
                         "checkpoints under --work (resume after a crash "
@@ -75,6 +79,7 @@ def main():
             # consistency ramp scaled to the shorter run (reference uses
             # 200 epochs over 20k iters; keep the same fraction)
             consistency_rampup=200.0 * args.iters / 20000.0,
+            **({"seed": args.seed} if args.seed is not None else {}),
             **arm_overrides[arm],
         )
         print(f"=== arm {arm}: training {args.iters} iters ===", flush=True)

@@ -22,9 +22,14 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Remote compiles through the relay take 1-15 min per program; persist
+# them so repeat runs (and the round driver's run) start warm.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
 
 
 # Measured by scripts/bench_reference_loop.py on this chip (see docstring).

@@ -91,10 +91,34 @@ class TrainConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16
     num_prefetch: int = 2
     data_parallel: int = 0  # 0 = all visible devices
-    # resume: "" = fresh run; "auto" = restore this run-dir's best
-    # checkpoint; otherwise a checkpoint directory path. Restores the
-    # FULL TrainState (student, teacher, optimizer momentum, step).
+    # resume: "" = fresh run; "auto" = restore this run-dir's LATEST
+    # checkpoint (highest-step periodic/best save — what a preempted run
+    # wants); otherwise a checkpoint directory path. Restores the FULL
+    # TrainState (student, teacher, optimizer momentum, step).
     resume: str = ""
+    # wall-clock budget in seconds (0 = unlimited): the trainer exits
+    # the loop cleanly once exceeded, saving a final periodic checkpoint
+    # so the run is resumable. A clean bound beats an external
+    # `timeout` kill, which can wedge the TPU relay (CLAUDE.md).
+    time_budget_s: float = 0.0
+    # host-loop pipelining: with fetch_ahead=1 the trainer dispatches
+    # iteration N+1 BEFORE fetching iteration N's scalar metrics, hiding
+    # the D2H round-trip latency behind the next step's compute (on a
+    # high-latency host link the per-iteration blocking fetch dominates
+    # the 416 ms device step). Iterations that must be observed in sync
+    # (val/save/monitor/HD95 cadence, the final step, budget exits)
+    # still fetch synchronously, so checkpoints and val always see
+    # exactly the reference's state. Only observable deviation: after a
+    # NaN-skipped step the ALREADY-DISPATCHED next step used a
+    # consistency weight computed one iteration ahead (healthy runs
+    # never skip). 0 = fetch every iteration synchronously.
+    fetch_ahead: int = 0
+    # "always": every step materializes the diagnostic outputs
+    # (pred_fg_bits for train-HD95, embedding/mask_con for the
+    # similarity monitor). "cadence": compile a second, LIGHT step
+    # without those outputs and dispatch the full one only on the
+    # iterations that consume them (every hd95_every / 200 iters).
+    step_diagnostics: str = "always"
     # gradient rematerialization: "none" stores all forward activations
     # for backward; "full" recomputes the student forward during the
     # backward pass (~+30% step FLOPs, ~forward-only peak memory) —
@@ -223,9 +247,17 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
     p.add_argument("--val_every", type=int, default=d.val_every)
+    p.add_argument("--save_every", type=int, default=d.save_every)
+    p.add_argument("--time_budget_s", type=float, default=d.time_budget_s,
+                   help="wall-clock budget; 0 = unlimited (clean exit + resumable ckpt)")
+    p.add_argument("--fetch_ahead", type=int, default=d.fetch_ahead, choices=[0, 1],
+                   help="1 = defer each iteration's metric fetch behind the next dispatch")
+    p.add_argument("--step_diagnostics", type=str, default=d.step_diagnostics,
+                   choices=["always", "cadence"],
+                   help="cadence = light step (scalars only) off the monitor/HD95 cadence")
     p.add_argument("--data_parallel", type=int, default=d.data_parallel)
     p.add_argument("--resume", type=str, default=d.resume,
-                   help='"" fresh, "auto" = best ckpt of this run dir, or a path')
+                   help='"" fresh, "auto" = latest ckpt of this run dir, or a path')
     p.add_argument("--remat", type=str, default=d.remat, choices=["none", "full"])
     p.add_argument("--wire_dtype", type=str, default=d.wire_dtype,
                    choices=["auto", "float32", "float16"])

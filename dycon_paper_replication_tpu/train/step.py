@@ -70,8 +70,17 @@ def _mask_kernel(cfg: TrainConfig, image_spatial, feat_spatial) -> tuple[int, in
     return tuple(i // f for i, f in zip(image_spatial, feat_spatial))
 
 
-def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
-    """Returns train_step(state, batch, rng, scalars) -> (state, metrics)."""
+def build_train_step(model, optimizer, cfg: TrainConfig, *, diagnostics: bool = True) -> Callable:
+    """Returns train_step(state, batch, rng, scalars) -> (state, metrics).
+
+    diagnostics=False builds the LIGHT variant: metrics carry only the
+    packed per-step scalar vector, omitting the cadence-gated outputs
+    (`pred_fg_bits` for train-HD95, `embedding`/`mask_con` for the
+    similarity monitor). Those are only consumed every hd95_every / 200
+    iterations (trainer.py), yet as program outputs they must be
+    materialized into HBM every step and inhibit fusion of the layers
+    that produce them; the trainer compiles both variants and dispatches
+    the full one only on iterations whose outputs will be read."""
 
     labeled_bs = cfg.labeled_bs
     consistency_kind = cfg.consistency_type
@@ -249,15 +258,18 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
             # a single D2H (high-latency links make per-scalar fetches the
             # hot-loop bottleneck); order = SCALAR_METRICS
             "scalars": scalar_vec,
-            # bit-packed wire: the host only needs the binary mask for
-            # HD95 — 32x fewer D2H bytes than f32 over the slow relay
-            # link (unpack with np.unpackbits(..., axis=-1,
-            # bitorder="little"); last axis padded to a byte multiple)
-            "pred_fg_bits": _packbits(pred_fg),
-            # device-resident diagnostics; transferred only when consumed
-            "embedding": jax.lax.stop_gradient(aux["embedding"]),
-            "mask_con": aux["mask_con"],
         }
+        if diagnostics:
+            metrics.update({
+                # bit-packed wire: the host only needs the binary mask for
+                # HD95 — 32x fewer D2H bytes than f32 over the slow relay
+                # link (unpack with np.unpackbits(..., axis=-1,
+                # bitorder="little"); last axis padded to a byte multiple)
+                "pred_fg_bits": _packbits(pred_fg),
+                # device-resident diagnostics; transferred only when consumed
+                "embedding": jax.lax.stop_gradient(aux["embedding"]),
+                "mask_con": aux["mask_con"],
+            })
         return new_state, metrics
 
     return train_step

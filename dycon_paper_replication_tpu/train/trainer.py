@@ -122,18 +122,33 @@ class Trainer:
         )
 
         self.state = create_train_state(self.model, jax.random.key(cfg.seed), self.optimizer)
+        self._resumed_best = 0.0
         if cfg.resume:
-            path = (
-                checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model)
-                if cfg.resume == "auto"
-                else cfg.resume
-            )
+            if cfg.resume == "auto":
+                path, self._resumed_best = checkpoint.latest_checkpoint_path(
+                    self.snapshot_path, cfg.model
+                )
+            else:
+                path = cfg.resume
             self.state = checkpoint.restore_checkpoint(path, self.state)
-            self.log.info("Resumed full TrainState from %s (step %d)", path, int(self.state.step))
+            self.log.info(
+                "Resumed full TrainState from %s (step %d, best-so-far %.4f)",
+                path, int(self.state.step), self._resumed_best,
+            )
         self.state = jax.device_put(self.state, self._replicated)
 
         step_fn = build_train_step(self.model, self.optimizer, cfg)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        # LIGHT twin (scalars only) for off-cadence iterations; same
+        # update semantics, just no diagnostic outputs to materialize
+        self.train_step_light = (
+            jax.jit(
+                build_train_step(self.model, self.optimizer, cfg, diagnostics=False),
+                donate_argnums=(0,),
+            )
+            if cfg.step_diagnostics == "cadence"
+            else self.train_step
+        )
         # on-device TrainState copy for async checkpointing: the live
         # state is donated to the next step, so the background save
         # thread gets fresh buffers (jit outputs never alias inputs
@@ -143,7 +158,7 @@ class Trainer:
         self._build_data()
         self._build_eval()
         self.timer = StepTimer()
-        self.best_performance = 0.0
+        self.best_performance = self._resumed_best
         self.hd95_every = max(cfg.val_every // 4, 1)
 
     @staticmethod
@@ -298,8 +313,103 @@ class Trainer:
 
     # ---------------- main loop ----------------
 
-    def run(self) -> float:
+    def _finish_step(self, m, scalars, batch, iter_num: int) -> int:
+        """Post-dispatch half of one training iteration: the blocking
+        scalar fetch, NaN-skip accounting, cadence logging/monitoring,
+        validation + checkpointing, and the stop checks. Split out of
+        `run` so `fetch_ahead=1` can defer it behind the NEXT dispatch
+        (the D2H round trip then overlaps the next step's compute).
+        Returns the updated iter_num; sets self._stop to end the run."""
         cfg = self.cfg
+        # ONE host<->device round trip for all per-step scalars
+        v = dict(zip(SCALAR_METRICS, np.asarray(m["scalars"]).tolist()))
+        self.timer.stop()
+        if v["skipped"]:
+            # reference `continue`s BEFORE iter_num += 1
+            # (train_DyCON_Pancreas.py:261-263): a NaN step advances
+            # neither state.step nor the schedules/cadence
+            self.log.info(
+                "NaN or Inf found in loss at iteration %d — skipped", iter_num
+            )
+            return iter_num
+        iter_num += 1
+
+        if iter_num % 200 == 0 and "embedding" in m:
+            monitor_similarity_distributions(
+                m["embedding"], m["mask_con"], iter_num,
+                os.path.join(self.snapshot_path, f"{cfg.exp}_similarity"),
+            )
+
+        if (iter_num % self.hd95_every == 0 or iter_num == 1) and "pred_fg_bits" in m:
+            label_np = np.asarray(batch["label"])
+            # bit-packed wire (step.py _packbits): 32x fewer D2H bytes
+            # than the f32 mask; unpack + strip the byte-align pad
+            pred_fg = np.unpackbits(
+                np.asarray(m["pred_fg_bits"]), axis=-1, bitorder="little"
+            )[..., : label_np.shape[-1]]
+            max_dist = float(np.linalg.norm(cfg.patch_size))
+            hd = float(np.mean(metrics.compute_hd95_batch(pred_fg, label_np, max_dist)))
+            self.log.scalar("train/HD95", hd, iter_num)
+
+        self.log.scalars(
+            {
+                "info/loss": v["loss"],
+                "info/f_loss": v["f_loss"],
+                "info/u_loss": v["u_loss"],
+                "info/loss_ce": v["loss_ce"],
+                "info/loss_dice": v["loss_dice"],
+                "info/consistency_loss": v["consistency_loss"],
+                "info/consistency_weight": float(scalars.consistency_weight),
+                "train/Dice": v["train_dice"],
+            },
+            iter_num,
+        )
+        self.log.info(
+            "Iteration %d : Loss : %f, Loss_CE: %f, Loss_Dice: %f, "
+            "UnCLoss: %f, FeCLoss: %f, mean_dice: %f",
+            iter_num, v["loss"], v["loss_ce"], v["loss_dice"],
+            v["u_loss"], v["f_loss"], v["train_dice"],
+        )
+        if iter_num > 0 and iter_num % cfg.val_every == 0:
+            avg = self.validate()
+            if avg > self.best_performance:
+                self.best_performance = round(float(avg), 4)
+                snap = self._copy_state(self.state)
+                checkpoint.save_checkpoint(
+                    checkpoint.iter_checkpoint_path(
+                        self.snapshot_path, iter_num, self.best_performance
+                    ),
+                    snap,
+                )
+                checkpoint.save_checkpoint(
+                    checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model),
+                    snap,
+                )
+            self.log.scalars(
+                {"info/Dice": float(avg), "info/Best_dice": self.best_performance},
+                iter_num,
+            )
+            self.log.info(
+                "Iteration %d : Dice: %f Best_dice: %f",
+                iter_num, float(avg), self.best_performance,
+            )
+            for tag, tval in self.timer.stats().items():
+                self.log.scalar(f"perf/{tag}", tval, iter_num)
+
+        if iter_num % cfg.save_every == 0:
+            checkpoint.save_checkpoint(
+                checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
+                self._copy_state(self.state),
+            )
+        if iter_num >= cfg.max_iterations:
+            self._stop = True
+        return iter_num
+
+    def run(self) -> float:
+        import time as _time
+
+        cfg = self.cfg
+        t_start = _time.monotonic()
         iter_num = int(self.state.step)  # nonzero after resume
         key = jax.random.key(cfg.seed + 1)
         if iter_num:
@@ -314,99 +424,75 @@ class Trainer:
         # steps don't advance iter_num, so a permanently diverged run
         # would otherwise spin forever (the reference's for-epoch loop
         # terminates at max_epoch regardless)
+        self._stop = False
+        light_ok = cfg.step_diagnostics == "cadence"
+        # pending = (metrics, scalars, batch) of a dispatched-but-not-yet
+        # -fetched iteration (fetch_ahead=1): its D2H round trip overlaps
+        # the next step's compute instead of serializing with it
+        pending = None
         for epoch_idx, batch in self.loader.epochs(max(1, self.max_epoch - start_epoch)):
             epoch = start_epoch + epoch_idx
             if epoch != last_epoch:
                 beta, pos_th, neg_th = self._epoch_scalars(epoch)
                 last_epoch = epoch
+            # iteration index this dispatch lands on if no step is
+            # NaN-skipped (skips only shift the cadence windows below;
+            # _finish_step re-derives the true index at fetch time)
+            presumed = iter_num + 1 + (pending is not None)
+            on_diag_cadence = (
+                presumed % 200 == 0
+                or presumed % self.hd95_every == 0
+                or presumed == 1
+            )
+            # iterations whose processing must stay in lockstep with the
+            # dispatch (val/save see exactly this step's state; the final
+            # step must be observed before the loop can end)
+            sync_now = (
+                not cfg.fetch_ahead
+                or on_diag_cadence
+                or presumed % cfg.val_every == 0
+                or presumed % cfg.save_every == 0
+                or presumed >= cfg.max_iterations
+            )
             scalars = StepScalars.make(
-                beta, self._consistency_weight(iter_num), pos_th, neg_th
+                beta, self._consistency_weight(presumed - 1), pos_th, neg_th
             )
             key, step_key = jax.random.split(key)
             self.timer.start()
-            self.state, m = self.train_step(self.state, batch, step_key, scalars)
-            # ONE host<->device round trip for all per-step scalars
-            v = dict(zip(SCALAR_METRICS, np.asarray(m["scalars"]).tolist()))
-            self.timer.stop(m["scalars"])
-            if v["skipped"]:
-                # reference `continue`s BEFORE iter_num += 1
-                # (train_DyCON_Pancreas.py:261-263): a NaN step advances
-                # neither state.step nor the schedules/cadence
-                self.log.info(
-                    "NaN or Inf found in loss at iteration %d — skipped", iter_num
-                )
-                continue
-            iter_num += 1
-
-            if iter_num % 200 == 0:
-                monitor_similarity_distributions(
-                    m["embedding"], m["mask_con"], iter_num,
-                    os.path.join(self.snapshot_path, f"{cfg.exp}_similarity"),
-                )
-
-            if iter_num % self.hd95_every == 0 or iter_num == 1:
-                label_np = np.asarray(batch["label"])
-                # bit-packed wire (step.py _packbits): 32x fewer D2H bytes
-                # than the f32 mask; unpack + strip the byte-align pad
-                pred_fg = np.unpackbits(
-                    np.asarray(m["pred_fg_bits"]), axis=-1, bitorder="little"
-                )[..., : label_np.shape[-1]]
-                max_dist = float(np.linalg.norm(cfg.patch_size))
-                hd = float(np.mean(metrics.compute_hd95_batch(pred_fg, label_np, max_dist)))
-                self.log.scalar("train/HD95", hd, iter_num)
-
-            self.log.scalars(
-                {
-                    "info/loss": v["loss"],
-                    "info/f_loss": v["f_loss"],
-                    "info/u_loss": v["u_loss"],
-                    "info/loss_ce": v["loss_ce"],
-                    "info/loss_dice": v["loss_dice"],
-                    "info/consistency_loss": v["consistency_loss"],
-                    "info/consistency_weight": float(scalars.consistency_weight),
-                    "train/Dice": v["train_dice"],
-                },
-                iter_num,
+            step_fn = (
+                self.train_step_light if (light_ok and not on_diag_cadence)
+                else self.train_step
             )
-            self.log.info(
-                "Iteration %d : Loss : %f, Loss_CE: %f, Loss_Dice: %f, "
-                "UnCLoss: %f, FeCLoss: %f, mean_dice: %f",
-                iter_num, v["loss"], v["loss_ce"], v["loss_dice"],
-                v["u_loss"], v["f_loss"], v["train_dice"],
-            )
-            if iter_num > 0 and iter_num % cfg.val_every == 0:
-                avg = self.validate()
-                if avg > self.best_performance:
-                    self.best_performance = round(float(avg), 4)
-                    snap = self._copy_state(self.state)
-                    checkpoint.save_checkpoint(
-                        checkpoint.iter_checkpoint_path(
-                            self.snapshot_path, iter_num, self.best_performance
-                        ),
-                        snap,
-                    )
-                    checkpoint.save_checkpoint(
-                        checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model),
-                        snap,
-                    )
-                self.log.scalars(
-                    {"info/Dice": float(avg), "info/Best_dice": self.best_performance},
-                    iter_num,
-                )
-                self.log.info(
-                    "Iteration %d : Dice: %f Best_dice: %f",
-                    iter_num, float(avg), self.best_performance,
-                )
-                for tag, tval in self.timer.stats().items():
-                    self.log.scalar(f"perf/{tag}", tval, iter_num)
-
-            if iter_num % cfg.save_every == 0:
+            self.state, m = step_fn(self.state, batch, step_key, scalars)
+            if pending is not None:
+                iter_num = self._finish_step(*pending, iter_num)
+                pending = None
+                if self._stop:
+                    break
+            if sync_now:
+                iter_num = self._finish_step(m, scalars, batch, iter_num)
+                if self._stop:
+                    break
+            else:
+                pending = (m, scalars, batch)
+            if cfg.time_budget_s and _time.monotonic() - t_start >= cfg.time_budget_s:
+                # clean resumable exit BEFORE the next step launches (an
+                # external kill mid-program can wedge the TPU relay):
+                # drain the in-flight iteration, save, stop
+                if pending is not None:
+                    iter_num = self._finish_step(*pending, iter_num)
+                    pending = None
                 checkpoint.save_checkpoint(
                     checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
                     self._copy_state(self.state),
                 )
-            if iter_num >= cfg.max_iterations:
+                self.log.info(
+                    "Time budget %.0fs exceeded at iteration %d — saved and stopping",
+                    cfg.time_budget_s, iter_num,
+                )
                 break
+        if pending is not None and not self._stop:
+            iter_num = self._finish_step(*pending, iter_num)
         checkpoint.wait_until_finished()
         self.log.info("Training Finished!")
         self.log.close()

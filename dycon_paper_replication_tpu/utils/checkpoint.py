@@ -96,6 +96,40 @@ def best_checkpoint_path(snapshot_path: str, model_name: str) -> str:
     return os.path.join(snapshot_path, f"{model_name}_best_model")
 
 
+def latest_checkpoint_path(snapshot_path: str, model_name: str) -> tuple[str, float]:
+    """Resolve `resume="auto"`: the highest-step checkpoint in a run dir.
+
+    Scans `iter_<N>[_dice_<D>]` directories (the periodic/best-iter
+    cadence) and returns (path_of_max_N, best_dice_seen_across_names).
+    The best dice is parsed from the `_dice_` filenames so a resumed run
+    restores its best-so-far bar instead of re-saving "best" checkpoints
+    for worse validations. Falls back to `<model>_best_model` when no
+    iter checkpoints exist; raises FileNotFoundError when the dir has no
+    checkpoints at all (the reference cannot resume; SURVEY.md §5)."""
+    import re
+
+    best_dice = 0.0
+    latest: tuple[int, str] | None = None
+    for name in os.listdir(snapshot_path) if os.path.isdir(snapshot_path) else []:
+        m = re.fullmatch(r"iter_(\d+)(?:_dice_([0-9.]+))?", name)
+        if not m:
+            continue
+        full = os.path.join(snapshot_path, name)
+        if not os.path.isdir(full):
+            continue
+        step = int(m.group(1))
+        if m.group(2):
+            best_dice = max(best_dice, float(m.group(2)))
+        if latest is None or step > latest[0]:
+            latest = (step, full)
+    if latest is not None:
+        return latest[1], best_dice
+    best = best_checkpoint_path(snapshot_path, model_name)
+    if os.path.isdir(best):
+        return best, best_dice
+    raise FileNotFoundError(f"no checkpoints to resume from in {snapshot_path}")
+
+
 def iter_checkpoint_path(snapshot_path: str, iter_num: int, dice: float | None = None) -> str:
     if dice is not None:
         return os.path.join(snapshot_path, f"iter_{iter_num}_dice_{round(dice, 4)}")

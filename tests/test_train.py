@@ -186,6 +186,73 @@ class TestTrainerEndToEnd:
         t2.run()
         assert int(t2.state.step) >= 3
 
+    def test_resume_auto_latest_and_time_budget(self, tmp_path):
+        """`--time_budget_s` exits cleanly after the first step with a
+        resumable periodic checkpoint, and `resume='auto'` restores the
+        LATEST checkpoint of the same run dir (not the best), carrying
+        the best-so-far dice bar from the `iter_*_dice_*` filenames —
+        the preemption/kill recovery path of the 20k canonical run."""
+        from dycon_paper_replication_tpu.data import synthetic
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        root = tmp_path / "Pancreas"
+        synthetic.make_pancreas(str(root), n_train=6, n_test=2, shape=(40, 40, 24))
+        kw = dict(
+            root_dir=str(root), snapshot_root=str(tmp_path / "runs"),
+            max_iterations=4, val_every=1, save_every=100,
+        )
+        # leg 1: budget exceeded immediately after step 1 -> clean stop
+        t1 = Trainer(_tiny_cfg(**kw, time_budget_s=1e-6))
+        best1 = t1.run()
+        assert int(t1.state.step) == 1
+        # the budget exit saved iter_1 (plus the best-iter save from val)
+        from dycon_paper_replication_tpu.utils import checkpoint as ckpt
+        path, best_seen = ckpt.latest_checkpoint_path(t1.snapshot_path, "unet_3D")
+        assert os.path.basename(path).startswith("iter_1")
+        assert best_seen == pytest.approx(best1, abs=1e-4)
+
+        # leg 2: same config (same run dir), resume=auto -> latest, runs on
+        t2 = Trainer(_tiny_cfg(**kw, resume="auto"))
+        assert int(t2.state.step) == 1
+        assert t2.best_performance == pytest.approx(best1, abs=1e-4)
+        t2.run()
+        assert int(t2.state.step) == 4
+
+    def test_fetch_ahead_and_light_step_equivalence(self, tmp_path):
+        """fetch_ahead=1 (deferred metric fetch) + step_diagnostics=
+        'cadence' (light step off the monitor/HD95 cadence) change WHEN
+        the host observes each iteration, never WHAT the update computes:
+        the final TrainState must be bit-identical to the synchronous
+        every-step-diagnostics loop, and the best-val bar must match
+        (VERDICT r3 #7 — host-loop tail levers, flag-gated)."""
+        from dycon_paper_replication_tpu.data import synthetic
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        root = tmp_path / "Pancreas"
+        synthetic.make_pancreas(str(root), n_train=6, n_test=2, shape=(40, 40, 24))
+        # val_every=8 -> hd95_every=2: odd iterations >1 are true
+        # deferred+light iterations (with val_every=2, hd95_every would
+        # be 1 and every step a sync step, exercising nothing)
+        kw = dict(
+            root_dir=str(root), snapshot_root=str(tmp_path / "runs_a"),
+            max_iterations=9, val_every=8, save_every=100,
+        )
+        t_ref = Trainer(_tiny_cfg(**kw))
+        best_ref = t_ref.run()
+        t_pipe = Trainer(_tiny_cfg(**{
+            **kw, "snapshot_root": str(tmp_path / "runs_b"),
+            "fetch_ahead": 1, "step_diagnostics": "cadence",
+        }))
+        best_pipe = t_pipe.run()
+
+        assert int(t_pipe.state.step) == int(t_ref.state.step) == 9
+        assert best_pipe == pytest.approx(best_ref, abs=0)
+        ref_leaves = jax.tree.leaves(t_ref.state)
+        pipe_leaves = jax.tree.leaves(t_pipe.state)
+        assert len(ref_leaves) == len(pipe_leaves)
+        for a, b in zip(ref_leaves, pipe_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_vnet_full_loop_with_val_and_checkpoint(self, tmp_path):
         """--model vnet drives the identical trainer+val+checkpoint loop
         (VNet as a peer model family, reference VNet.py:145-239; the

@@ -15,7 +15,9 @@ reference's eval: test_3d_patch.py:496-508, metrics.py:29-36):
   * surface distance set = Euclidean distance transform of the
     complement of the OTHER object's surface, sampled at this object's
     surface voxels;
-  * hd95 = max(p95(d(A->B)), p95(d(B->A))); asd = mean(d(A->B)).
+  * hd95 = p95 over the CONCATENATION of both directed surface-distance
+    sets (medpy hstacks d(A->B) and d(B->A) before the percentile; NOT
+    the max of per-direction percentiles); asd = mean(d(A->B)).
 largest_connected_component matches skimage.measure.label's default
 FULL connectivity (26-neighborhood) + bincount argmax.
 """

@@ -29,7 +29,11 @@ say() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG"; }
 KILL_AT=1200          # iteration for the deliberate SIGKILL (leg 1)
 FLAGS=(--root_dir "$DATA" --snapshot_root "$RUNS"
        --max_iterations 20000 --save_every 1000
-       --compute_dtype bfloat16)  # the production TPU default (BASELINE.md 416 ms/step)
+       --compute_dtype bfloat16   # the production TPU default (BASELINE.md 416 ms/step)
+       # host-loop levers, proven bit-identical to the sync loop
+       # (tests/test_train.py) and measured -7.6% wall / -14% device
+       # step on this chip (bench_results/r04_trainer_wall.json)
+       --fetch_ahead 1 --step_diagnostics cadence)
 
 # 0: dataset (host-only, ~1 min)
 if [ ! -e "$DATA/train.list" ]; then

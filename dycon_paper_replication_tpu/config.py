@@ -101,24 +101,32 @@ class TrainConfig:
     # so the run is resumable. A clean bound beats an external
     # `timeout` kill, which can wedge the TPU relay (CLAUDE.md).
     time_budget_s: float = 0.0
-    # host-loop pipelining: with fetch_ahead=1 the trainer dispatches
-    # iteration N+1 BEFORE fetching iteration N's scalar metrics, hiding
-    # the D2H round-trip latency behind the next step's compute (on a
+    # host-loop pipelining: with fetch_ahead=1 (the default — measured
+    # -7.6% wall/iter on the v5e and proven bit-identical to the sync
+    # loop by tests/test_train.py) the trainer dispatches iteration N+1
+    # BEFORE fetching iteration N's scalar metrics, hiding the D2H
+    # round-trip latency behind the next step's compute (on a
     # high-latency host link the per-iteration blocking fetch dominates
     # the 416 ms device step). Iterations that must be observed in sync
     # (val/save/monitor/HD95 cadence, the final step, budget exits)
-    # still fetch synchronously, so checkpoints and val always see
-    # exactly the reference's state. Only observable deviation: after a
-    # NaN-skipped step the ALREADY-DISPATCHED next step used a
-    # consistency weight computed one iteration ahead (healthy runs
-    # never skip). 0 = fetch every iteration synchronously.
-    fetch_ahead: int = 0
+    # fetch synchronously, and the sync decision is made AFTER the
+    # previous iteration's fetch (from the true index), so checkpoints
+    # and val always see exactly the reference's state even across
+    # NaN-skipped steps. Observable deviations, both only after a NaN
+    # skip (healthy runs never skip): the ALREADY-DISPATCHED next step
+    # used a consistency weight computed one iteration ahead, and one
+    # HD95/monitor telemetry sample may be dropped (the shifted step was
+    # already dispatched as the light twin). 0 = fetch every iteration
+    # synchronously.
+    fetch_ahead: int = 1
     # "always": every step materializes the diagnostic outputs
     # (pred_fg_bits for train-HD95, embedding/mask_con for the
-    # similarity monitor). "cadence": compile a second, LIGHT step
-    # without those outputs and dispatch the full one only on the
-    # iterations that consume them (every hd95_every / 200 iters).
-    step_diagnostics: str = "always"
+    # similarity monitor). "cadence" (the default — materializing
+    # diagnostics every step cost ~64 ms/step of HBM writes, -14%
+    # device time, BASELINE.md): compile a second, LIGHT step without
+    # those outputs and dispatch the full one only on the iterations
+    # that consume them (every hd95_every / 200 iters).
+    step_diagnostics: str = "cadence"
     # gradient rematerialization: "none" stores all forward activations
     # for backward; "full" recomputes the student forward during the
     # backward pass (~+30% step FLOPs, ~forward-only peak memory) —

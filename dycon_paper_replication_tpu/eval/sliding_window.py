@@ -312,6 +312,11 @@ class SlidingWindowInference:
                 0,
             ]
         entry = self._host_pool[key]
+        # a deeper `map(depth=...)` raised _pool_depth after this ring
+        # was built: grow it (recycling a buffer that may still be
+        # queued for H2D would silently corrupt an in-flight group)
+        while len(entry[0]) < self._pool_depth:
+            entry[0].append(np.zeros((v,) + raw_bucket, self.transfer_dtype))
         entry[1] = (entry[1] + 1) % len(entry[0])
         buf = entry[0][entry[1]]
         view = buf[:, : raw_shape[0], : raw_shape[1], : raw_shape[2]]
@@ -458,6 +463,10 @@ class SlidingWindowInference:
         """
         group = max(1, int(group))
         depth = max(1, int(depth))
+        # the staging ring must cover every group that can be alive at
+        # once: `depth` in flight + 1 being staged + 1 slack for an H2D
+        # the runtime hasn't drained yet (_stage_host grows live rings)
+        self._pool_depth = max(self._pool_depth, depth + 2)
 
         def entries():
             buf: list = []

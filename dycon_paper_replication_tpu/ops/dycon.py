@@ -183,24 +183,35 @@ def fecl_loss_chunked(
     rematerialized `lax.scan`, so peak memory is O(B * row_chunk * N)
     and the backward pass recomputes tiles instead of storing them.
     Use for large N (ISLES: N = 9216 -> dense needs ~170M-element
-    matrices; see SURVEY.md §3.2). N must be divisible by row_chunk
-    (the trainer's feature grids are powers of two times small factors;
-    pick row_chunk accordingly).
+    matrices; see SURVEY.md §3.2). When N is not divisible by row_chunk
+    the row axis is padded with masked-out rows (sentinel class -1,
+    zero embeddings) so the chunked memory guarantee holds for any N:
+    validity masks keep the pad out of every positive/negative set and
+    the student mean divides by the true N (VERDICT r4 #7 — the old
+    dense fallback traded the caller's memory bound for an OOM).
     """
-    B, N, D = feat.shape
-    if N % row_chunk:
-        # fall back: correctness over memory for odd sizes
-        return fecl_loss(
-            feat, mask, teacher_feat, gambling_uncertainty,
-            temperature=temperature, gamma=gamma, use_focal=use_focal,
-            pos_thresh=pos_thresh, neg_thresh=neg_thresh, lambda_cross=lambda_cross,
+    B, n_true, D = feat.shape
+    if n_true % row_chunk:
+        pad = row_chunk - n_true % row_chunk
+        feat = jnp.pad(feat, ((0, 0), (0, pad), (0, 0)))
+        # f32 sentinel: a bool/uint8 mask would wrap -1 onto a real class
+        mask = jnp.concatenate(
+            [mask.astype(jnp.float32), jnp.full((B, pad), -1.0, jnp.float32)], axis=1
         )
+        if teacher_feat is not None:
+            teacher_feat = jnp.pad(teacher_feat, ((0, 0), (0, pad), (0, 0)))
+        if gambling_uncertainty is not None:
+            gambling_uncertainty = jnp.pad(gambling_uncertainty, ((0, 0), (0, pad)))
+    N = feat.shape[1]
+    padded = N != n_true
     T = row_chunk
     n_tiles = N // T
     dtype = feat.dtype
 
     def per_item(feat_b, mask_b, tfeat_b=None, gamb_b=None):
         row_ids = jnp.arange(N)
+        # 1 for true rows/columns, 0 for row_chunk-alignment padding
+        col_valid = (row_ids < n_true).astype(dtype)
         feat_tiles = feat_b.reshape(n_tiles, T, D)
         id_tiles = row_ids.reshape(n_tiles, T)
         mask_tiles = mask_b.reshape(n_tiles, T)
@@ -226,6 +237,11 @@ def fecl_loss_chunked(
         def tile_terms(f_t, ids, m_t, g_t):
             same = (m_t[:, None] == mask_b[None, :]).astype(dtype)  # (T, N)
             diff = 1.0 - same
+            if padded:
+                # pad columns: the -1 sentinel already keeps them out of
+                # `same` for real rows; exclude them from the negative
+                # set too (their exp(0 - col_max) would pollute neg_sum)
+                diff = diff * col_valid[None, :]
             off_diag = (ids[:, None] != row_ids[None, :]).astype(dtype)
             l_t = (
                 jnp.einsum("td,nd->tn", f_t, feat_b, preferred_element_type=jnp.float32)
@@ -251,6 +267,10 @@ def fecl_loss_chunked(
             row_mean = jnp.where(
                 pos_count > 0, row_sum / jnp.maximum(pos_count, 1.0), 0.0
             )
+            if padded:
+                # pad rows form sentinel-class "positives" among
+                # themselves — zero their row means outright
+                row_mean = row_mean * (ids < n_true).astype(row_mean.dtype)
             if g_t is not None:
                 # gambling weighting replaces the focal/unfocal student
                 # term with gambling-weighted UNFOCAL row means, exactly
@@ -262,7 +282,11 @@ def fecl_loss_chunked(
             if tfeat_b is None:
                 return student, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
             cs = jnp.einsum("td,nd->tn", f_t, tfeat_b, preferred_element_type=jnp.float32)
-            hard = ((diff > 0) & (cs > neg_thresh)).astype(dtype)
+            hard = (diff > 0) & (cs > neg_thresh)
+            if padded:
+                # diff already excludes pad columns; exclude pad rows too
+                hard = hard & (ids[:, None] < n_true)
+            hard = hard.astype(dtype)
             cross_sum = jnp.sum(-jnp.log(jnp.maximum(1.0 - cs, 0.0) + _EPS_LOG) * hard)
             return student, cross_sum, jnp.sum(hard)
 
@@ -289,7 +313,7 @@ def fecl_loss_chunked(
         lambda d: per_item(d["f"], d["m"], d.get("t"), d.get("g"))
     )(mapped)
 
-    loss_student = jnp.sum(s) / (B * N)  # mean over all (b, row) pairs
+    loss_student = jnp.sum(s) / (B * n_true)  # mean over all TRUE (b, row) pairs
     if teacher_feat is None:
         return loss_student
     loss_cross = jnp.sum(cs) / (jnp.sum(cc) + _EPS_LOG)

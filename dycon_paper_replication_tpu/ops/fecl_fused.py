@@ -63,8 +63,14 @@ def _phi_psi(v, pos_thresh, gamma, use_focal):
 
 
 @functools.lru_cache(maxsize=32)
-def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
-    """Returns the custom-VJP'd core for one static config."""
+def _build(temperature, gamma, use_focal, lambda_cross, row_chunk, n_valid=None):
+    """Returns the custom-VJP'd core for one static config.
+
+    `n_valid` (static) is the TRUE row count when the caller padded the
+    row axis up to a row_chunk multiple (sentinel class -1, zero
+    embeddings): validity masks keep pad rows/columns out of every
+    positive/negative set and the means divide by `n_valid`. None means
+    the inputs are unpadded (identical trace to the pre-padding code)."""
 
     def _per_item_fwd(feat, mask, tfeat, focal_eff, pos_t, neg_t):
         N, D = feat.shape
@@ -91,6 +97,10 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
             same = (m_t[:, None] == mask[None, :]).astype(_F32)
             off = (ids[:, None] != row_ids[None, :]).astype(_F32)
             diff = 1.0 - same
+            if n_valid is not None:
+                # sentinel keeps pad columns out of `same`; keep their
+                # exp(0 - col_max) out of the negative sums too
+                diff = diff * (row_ids < n_valid).astype(_F32)[None, :]
             l_t = jnp.einsum("td,nd->tn", f_t, feat, preferred_element_type=_F32) / temperature
             l_t = l_t * off
             e_t = jnp.exp(l_t - col_max[None, :])
@@ -107,6 +117,8 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
             else:
                 cs = jnp.einsum("td,nd->tn", f_t, tfeat, preferred_element_type=_F32)
                 hard = (diff > 0) & (cs > neg_t)
+                if n_valid is not None:
+                    hard = hard & (ids[:, None] < n_valid)
                 c_sum = jnp.sum(
                     jnp.where(hard, -jnp.log(jnp.maximum(1.0 - cs, 0.0) + _EPS_LOG), 0.0)
                 )
@@ -131,6 +143,12 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
         # summing equality against the row's own value via sort-free
         # histogram over unique values is overkill — the mask values are
         # floats from a threshold, so a direct count works in O(N):
+        if n_valid is not None:
+            # pad rows carry the -1 sentinel: count both classes
+            # explicitly so pads land in neither histogram bucket
+            n1 = jnp.sum((mask == 1).astype(_F32))
+            n0 = jnp.sum((mask == 0).astype(_F32))
+            return jnp.where(mask > 0, n1, n0) - 1.0
         n1 = jnp.sum(mask)  # count of class "1" (mask values are 0/1)
         n = mask.shape[0]
         return jnp.where(mask > 0, n1, n - n1) - 1.0
@@ -152,13 +170,18 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
         )
         pos_count = jax.vmap(_pos_count)(mask)
         w = jnp.where(pos_count > 0, 1.0 / jnp.maximum(pos_count, 1.0), 0.0)  # (B,N)
+        if n_valid is not None:
+            # pad rows form sentinel-class "positives" among themselves;
+            # zeroing w here kills their forward contribution AND their
+            # backward a_all scaling in one place
+            w = w * (jnp.arange(N) < n_valid).astype(_F32)[None, :]
         if gamb is not None:
             row_mean = row_sums_unf * w * gamb
         elif use_focal:
             row_mean = row_sums * w
         else:
             row_mean = row_sums_unf * w
-        loss_student = jnp.sum(row_mean) / (B * N)
+        loss_student = jnp.sum(row_mean) / (B * (N if n_valid is None else n_valid))
         cnt_total = jnp.sum(c_cnt)
         if tfeat is None:
             loss = loss_student
@@ -182,7 +205,8 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
         T = row_chunk
         n_tiles = N // T
         gbar = gbar.astype(_F32)
-        a_all = (gbar / (B * N)) * w  # (B,N)
+        denom_rows = B * (N if n_valid is None else n_valid)
+        a_all = (gbar / denom_rows) * w  # (B,N); w is zero on pad rows
         if gamb is not None:
             a_all = a_all * gamb
         g_cross = gbar * lambda_cross / (cnt_total + _EPS_LOG)
@@ -201,6 +225,8 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
                 same = (m_t[:, None] == mask_b[None, :]).astype(_F32)
                 off = (ids[:, None] != row_ids[None, :]).astype(_F32)
                 diff = 1.0 - same
+                if n_valid is not None:
+                    diff = diff * (row_ids < n_valid).astype(_F32)[None, :]
                 l_t = jnp.einsum("td,nd->tn", f_t, feat_b, preferred_element_type=_F32) / temperature
                 l_t = l_t * off
                 e_t = jnp.exp(l_t - cmax_b[None, :])
@@ -215,6 +241,8 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
                 if tfeat_b is not None:
                     cs = jnp.einsum("td,nd->tn", f_t, tfeat_b, preferred_element_type=_F32)
                     hard = (diff > 0) & (cs > neg_t) & (cs < 1.0)
+                    if n_valid is not None:
+                        hard = hard & (ids[:, None] < n_valid)
                     dcs = jnp.where(
                         hard, g_cross / (jnp.maximum(1.0 - cs, 0.0) + _EPS_LOG), 0.0
                     )
@@ -240,7 +268,7 @@ def _build(temperature, gamma, use_focal, lambda_cross, row_chunk):
 
         dgamb = None
         if gamb is not None:
-            dgamb = (gbar / (B * N)) * row_sums_unf * w
+            dgamb = (gbar / denom_rows) * row_sums_unf * w
         dtfeat = None if tfeat is None else jnp.zeros_like(tfeat)
         return (dfeat.astype(feat.dtype), jnp.zeros_like(mask), dtfeat, dgamb,
                 jnp.zeros_like(pos_t), jnp.zeros_like(neg_t))
@@ -266,23 +294,33 @@ def fecl_loss_fused(
     """Drop-in replacement for `fecl_loss_chunked` with analytic backward.
 
     Value and feat-gradient match `fecl_loss`/`fecl_loss_chunked` (tested);
-    the teacher cotangent is ZERO by design (see module docstring). Falls
-    back to the checkpointed chunked path when N % row_chunk != 0.
+    the teacher cotangent is ZERO by design (see module docstring). When
+    N % row_chunk != 0 the row axis is padded with masked-out rows
+    (sentinel class -1, zero embeddings) so the fused tile-memory bound
+    holds for any N (VERDICT r4 #7); the cotangent of the pad slices off
+    through `jnp.pad`'s transpose.
 
     `mask` must be BINARY {0, 1} (the trainer's thresholded contrastive
     mask): the positive-pair count is derived from the class-1 histogram
     instead of an (N, N) comparison.
     """
     B, N, D = feat.shape
+    n_valid = None
     if N % row_chunk:
-        return fecl_loss_chunked(
-            feat, mask, teacher_feat, gambling_uncertainty,
-            temperature=temperature, gamma=gamma, use_focal=use_focal,
-            pos_thresh=pos_thresh, neg_thresh=neg_thresh,
-            lambda_cross=lambda_cross, row_chunk=row_chunk,
+        pad = row_chunk - N % row_chunk
+        n_valid = N
+        feat = jnp.pad(feat, ((0, 0), (0, pad), (0, 0)))
+        # f32 sentinel (a bool/uint8 mask would wrap -1 onto a real
+        # class; int would change the custom-VJP cotangent dtype)
+        mask = jnp.concatenate(
+            [mask.astype(_F32), jnp.full((B, pad), -1.0, _F32)], axis=1
         )
+        if teacher_feat is not None:
+            teacher_feat = jnp.pad(teacher_feat, ((0, 0), (0, pad), (0, 0)))
+        if gambling_uncertainty is not None:
+            gambling_uncertainty = jnp.pad(gambling_uncertainty, ((0, 0), (0, pad)))
     core = _build(float(temperature), float(gamma), bool(use_focal),
-                  float(lambda_cross), int(row_chunk))
+                  float(lambda_cross), int(row_chunk), n_valid)
     return core(
         feat.astype(_F32),
         mask,

@@ -313,17 +313,19 @@ class Trainer:
 
     # ---------------- main loop ----------------
 
-    def _finish_step(self, m, scalars, batch, iter_num: int) -> int:
+    def _finish_step(self, m, scalars, batch, t_disp, iter_num: int) -> int:
         """Post-dispatch half of one training iteration: the blocking
         scalar fetch, NaN-skip accounting, cadence logging/monitoring,
         validation + checkpointing, and the stop checks. Split out of
         `run` so `fetch_ahead=1` can defer it behind the NEXT dispatch
         (the D2H round trip then overlaps the next step's compute).
+        `t_disp` is this iteration's own dispatch timestamp (with
+        fetch_ahead=1 another start() fires before a deferred stop()).
         Returns the updated iter_num; sets self._stop to end the run."""
         cfg = self.cfg
         # ONE host<->device round trip for all per-step scalars
         v = dict(zip(SCALAR_METRICS, np.asarray(m["scalars"]).tolist()))
-        self.timer.stop()
+        self.timer.stop(start=t_disp)
         if v["skipped"]:
             # reference `continue`s BEFORE iter_num += 1
             # (train_DyCON_Pancreas.py:261-263): a NaN step advances
@@ -375,15 +377,18 @@ class Trainer:
             if avg > self.best_performance:
                 self.best_performance = round(float(avg), 4)
                 snap = self._copy_state(self.state)
+                meta = {"step": iter_num, "best_dice": self.best_performance}
                 checkpoint.save_checkpoint(
                     checkpoint.iter_checkpoint_path(
                         self.snapshot_path, iter_num, self.best_performance
                     ),
                     snap,
+                    meta=meta,
                 )
                 checkpoint.save_checkpoint(
                     checkpoint.best_checkpoint_path(self.snapshot_path, cfg.model),
                     snap,
+                    meta=meta,
                 )
             self.log.scalars(
                 {"info/Dice": float(avg), "info/Best_dice": self.best_performance},
@@ -400,6 +405,7 @@ class Trainer:
             checkpoint.save_checkpoint(
                 checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
                 self._copy_state(self.state),
+                meta={"step": iter_num, "best_dice": self.best_performance},
             )
         if iter_num >= cfg.max_iterations:
             self._stop = True
@@ -436,29 +442,20 @@ class Trainer:
                 beta, pos_th, neg_th = self._epoch_scalars(epoch)
                 last_epoch = epoch
             # iteration index this dispatch lands on if no step is
-            # NaN-skipped (skips only shift the cadence windows below;
-            # _finish_step re-derives the true index at fetch time)
+            # NaN-skipped (skips only shift the light/full choice below;
+            # _finish_step re-derives the true index at fetch time, and
+            # the sync decision is re-made AFTER the pending drain)
             presumed = iter_num + 1 + (pending is not None)
             on_diag_cadence = (
                 presumed % 200 == 0
                 or presumed % self.hd95_every == 0
                 or presumed == 1
             )
-            # iterations whose processing must stay in lockstep with the
-            # dispatch (val/save see exactly this step's state; the final
-            # step must be observed before the loop can end)
-            sync_now = (
-                not cfg.fetch_ahead
-                or on_diag_cadence
-                or presumed % cfg.val_every == 0
-                or presumed % cfg.save_every == 0
-                or presumed >= cfg.max_iterations
-            )
             scalars = StepScalars.make(
                 beta, self._consistency_weight(presumed - 1), pos_th, neg_th
             )
             key, step_key = jax.random.split(key)
-            self.timer.start()
+            t_disp = self.timer.start()
             step_fn = (
                 self.train_step_light if (light_ok and not on_diag_cadence)
                 else self.train_step
@@ -469,12 +466,32 @@ class Trainer:
                 pending = None
                 if self._stop:
                     break
+            # sync decision from the TRUE landing index: if the drain
+            # above observed a NaN skip, this dispatch lands one earlier
+            # than `presumed` — deciding here keeps val/save/final-step
+            # processing in exact lockstep with the state they must
+            # observe (iterations whose processing must not be deferred:
+            # val/save see exactly this step's state; the final step must
+            # be observed before the loop can end). A post-skip shift can
+            # still have dispatched a diag-cadence step as the LIGHT
+            # twin — _finish_step then skips that one HD95/monitor
+            # sample (telemetry only; healthy runs never skip).
+            actual = iter_num + 1
+            sync_now = (
+                not cfg.fetch_ahead
+                or actual % 200 == 0
+                or actual % self.hd95_every == 0
+                or actual == 1
+                or actual % cfg.val_every == 0
+                or actual % cfg.save_every == 0
+                or actual >= cfg.max_iterations
+            )
             if sync_now:
-                iter_num = self._finish_step(m, scalars, batch, iter_num)
+                iter_num = self._finish_step(m, scalars, batch, t_disp, iter_num)
                 if self._stop:
                     break
             else:
-                pending = (m, scalars, batch)
+                pending = (m, scalars, batch, t_disp)
             if cfg.time_budget_s and _time.monotonic() - t_start >= cfg.time_budget_s:
                 # clean resumable exit BEFORE the next step launches (an
                 # external kill mid-program can wedge the TPU relay):
@@ -485,6 +502,7 @@ class Trainer:
                 checkpoint.save_checkpoint(
                     checkpoint.iter_checkpoint_path(self.snapshot_path, iter_num),
                     self._copy_state(self.state),
+                    meta={"step": iter_num, "best_dice": self.best_performance},
                 )
                 self.log.info(
                     "Time budget %.0fs exceeded at iteration %d — saved and stopping",

@@ -52,13 +52,26 @@ def _get_executor() -> ThreadPoolExecutor:
     return _executor
 
 
-def save_checkpoint(path: str, state: Any, force: bool = True, block: bool = False) -> None:
+def save_checkpoint(
+    path: str,
+    state: Any,
+    force: bool = True,
+    block: bool = False,
+    meta: dict | None = None,
+) -> None:
     """Queue a pytree checkpoint save to `path` (directory, created fresh).
 
     Returns immediately (unless `block`); the device→host fetch and disk
     write run on the checkpoint worker thread. `state` must remain valid
     until the save completes: from a `donate_argnums` train loop, pass a
     snapshot copy, not the live (about-to-be-donated) state.
+
+    `meta` (JSON-serializable) is written as a `graft_meta.json` sidecar
+    inside the checkpoint dir: run-level facts that live outside the
+    pytree (the best-val bar, notably) survive a resume even when the
+    directory name doesn't encode them (ADVICE r4: resuming a run dir
+    whose only checkpoint is `<model>_best_model` must not reset the
+    best bar to 0 and then overwrite the genuine best with worse saves).
     """
     path = os.path.abspath(path)
 
@@ -69,6 +82,11 @@ def save_checkpoint(path: str, state: Any, force: bool = True, block: bool = Fal
         c = _get_checkpointer()
         c.save(path, state, force=force)
         c.wait_until_finished()
+        if meta is not None:
+            import json
+
+            with open(os.path.join(path, "graft_meta.json"), "w") as f:
+                json.dump(meta, f)
 
     with _lock:
         # surface earlier failures promptly instead of at exit
@@ -100,13 +118,22 @@ def latest_checkpoint_path(snapshot_path: str, model_name: str) -> tuple[str, fl
     """Resolve `resume="auto"`: the highest-step checkpoint in a run dir.
 
     Scans `iter_<N>[_dice_<D>]` directories (the periodic/best-iter
-    cadence) and returns (path_of_max_N, best_dice_seen_across_names).
-    The best dice is parsed from the `_dice_` filenames so a resumed run
-    restores its best-so-far bar instead of re-saving "best" checkpoints
-    for worse validations. Falls back to `<model>_best_model` when no
-    iter checkpoints exist; raises FileNotFoundError when the dir has no
+    cadence) and returns (path_of_max_N, best_dice_seen). The best dice
+    is the max over the `_dice_` filenames and any `graft_meta.json`
+    sidecars, so a resumed run restores its best-so-far bar instead of
+    re-saving "best" checkpoints for worse validations. Falls back to
+    `<model>_best_model` (whose sidecar carries its dice) when no iter
+    checkpoints exist; raises FileNotFoundError when the dir has no
     checkpoints at all (the reference cannot resume; SURVEY.md §5)."""
+    import json
     import re
+
+    def _meta_dice(ckpt_dir: str) -> float:
+        try:
+            with open(os.path.join(ckpt_dir, "graft_meta.json")) as f:
+                return float(json.load(f).get("best_dice", 0.0))
+        except (OSError, ValueError):
+            return 0.0
 
     best_dice = 0.0
     latest: tuple[int, str] | None = None
@@ -120,13 +147,14 @@ def latest_checkpoint_path(snapshot_path: str, model_name: str) -> tuple[str, fl
         step = int(m.group(1))
         if m.group(2):
             best_dice = max(best_dice, float(m.group(2)))
+        best_dice = max(best_dice, _meta_dice(full))
         if latest is None or step > latest[0]:
             latest = (step, full)
     if latest is not None:
         return latest[1], best_dice
     best = best_checkpoint_path(snapshot_path, model_name)
     if os.path.isdir(best):
-        return best, best_dice
+        return best, max(best_dice, _meta_dice(best))
     raise FileNotFoundError(f"no checkpoints to resume from in {snapshot_path}")
 
 

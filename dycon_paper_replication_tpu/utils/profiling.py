@@ -25,15 +25,21 @@ class StepTimer:
         self._count = 0
         self._last = None
 
-    def start(self) -> None:
+    def start(self) -> float:
+        """Mark (and return) a dispatch timestamp. The return value lets
+        a pipelined loop carry its own start through a deferred fetch
+        (`stop(start=t)`) instead of sharing the single `_last` slot —
+        with two iterations in flight, interleaved start/stop pairs off
+        one shared mark would mix near-zero and double-length samples."""
         self._last = time.perf_counter()
+        return self._last
 
-    def stop(self, result=None) -> float:
+    def stop(self, result=None, start: float | None = None) -> float:
         """Record a step; pass a device array occasionally to sync."""
         self._count += 1
         if result is not None and self._count % self.sync_every == 0:
             jax.block_until_ready(result)
-        dt = time.perf_counter() - self._last
+        dt = time.perf_counter() - (self._last if start is None else start)
         self.window.append(dt)
         return dt
 

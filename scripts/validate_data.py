@@ -69,10 +69,10 @@ def validate(root: str, dataset: str, spot_check: int = 5) -> list[str]:
             continue
         try:
             with h5py.File(path, "r") as f:
-                for key in ("image", label_key):
-                    if key not in f:
-                        problems.append(f"{name}: no '{key}' dataset")
-                        continue
+                missing = [k for k in ("image", label_key) if k not in f]
+                if missing:
+                    problems.extend(f"{name}: no '{k}' dataset" for k in missing)
+                    continue  # keep validating the remaining cases
                 img, lab = f["image"], f[label_key]
                 ish = img.shape[-3:] if img.ndim > 3 else img.shape
                 if lab.shape[-3:] != ish:

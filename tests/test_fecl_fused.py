@@ -79,11 +79,31 @@ class TestFusedFeCL:
         g_t = jax.grad(lambda tt: fecl_loss_fused(f, m, tt, row_chunk=16, **KW))(t)
         np.testing.assert_array_equal(np.asarray(g_t), 0.0)
 
-    def test_indivisible_falls_back_to_chunked(self, rng):
-        f, m, _ = _inputs(rng, B=1, N=10, D=8)
-        dense = dycon.fecl_loss(f, m, None, **KW)
-        fused = fecl_loss_fused(f, m, None, row_chunk=16, **KW)
-        assert np.isclose(fused, dense, rtol=1e-6)
+    @pytest.mark.parametrize("use_teacher,use_gamb", [(False, False), (True, False), (True, True)])
+    def test_indivisible_pads_and_matches_dense(self, rng, use_teacher, use_gamb, monkeypatch):
+        """N % row_chunk != 0 takes the PADDED fused path (masked pad
+        rows, sentinel class, analytic VJP), not a chunked/dense
+        fallback (VERDICT r4 #7): value and feat-grad match dense."""
+        from dycon_paper_replication_tpu.ops import fecl_fused as ff
+        f, m, t = _inputs(rng, B=2, N=10, D=8)
+        t = t if use_teacher else None
+        gamb = (jnp.asarray(rng.uniform(0.1, 1.0, size=f.shape[:2]).astype(np.float32))
+                if use_gamb else None)
+        dense = dycon.fecl_loss(f, m, t, gamb, **KW)
+        # prove no fallback: the fused path must not call fecl_loss_chunked
+        monkeypatch.setattr(ff, "fecl_loss_chunked", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("fecl_loss_fused fell back to chunked")))
+        fused = fecl_loss_fused(f, m, t, gamb, row_chunk=16, **KW)
+        assert np.isclose(fused, dense, rtol=1e-5, atol=1e-5), (fused, dense)
+
+        def dense_fn(x):
+            ts = None if t is None else jax.lax.stop_gradient(t)
+            return dycon.fecl_loss(x, m, ts, gamb, **KW)
+
+        g_dense = jax.grad(dense_fn)(f)
+        g_fused = jax.grad(lambda x: fecl_loss_fused(x, m, t, gamb, row_chunk=16, **KW))(f)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_dense),
+                                   rtol=1e-4, atol=1e-5)
 
     def test_jit_and_value_grad_together(self, rng):
         """Trainer usage: value_and_grad under jit, teacher present."""

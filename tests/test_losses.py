@@ -236,10 +236,41 @@ class TestFeCLChunked:
         # and gambling actually changes the value vs the focal path
         assert not np.isclose(dense, dycon.fecl_loss(f, m, t, None, **kw))
 
-    def test_indivisible_falls_back(self, rng):
-        feat = TF.normalize(torch.tensor(rng.normal(size=(1, 10, 8)).astype(np.float32)), dim=-1)
-        mask = torch.tensor(rng.integers(0, 2, size=(1, 10)).astype(np.float32))
+    @pytest.mark.parametrize("use_teacher,use_gamb", [(False, False), (True, False), (True, True)])
+    def test_indivisible_pads_and_matches_dense(self, rng, use_teacher, use_gamb, monkeypatch):
+        """N % row_chunk != 0 takes the PADDED chunked path (masked pad
+        rows, sentinel class), not a dense fallback (VERDICT r4 #7):
+        value and feat-grad match dense for every operand combination."""
+        import jax
+        B, N, D = 2, 10, 8
+        feat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        tfeat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        mask = torch.tensor(rng.integers(0, 2, size=(B, N)).astype(np.float32))
         f, m = jnp.asarray(feat.numpy()), jnp.asarray(mask.numpy())
-        dense = dycon.fecl_loss(f, m, None, pos_thresh=1.4, neg_thresh=0.35)
-        chunked = dycon.fecl_loss_chunked(f, m, None, row_chunk=16, pos_thresh=1.4, neg_thresh=0.35)
-        assert np.isclose(chunked, dense, rtol=1e-6)
+        t = jnp.asarray(tfeat.numpy()) if use_teacher else None
+        g = (jnp.asarray(rng.uniform(0.1, 1.0, size=(B, N)).astype(np.float32))
+             if use_gamb else None)
+        kw = dict(temperature=0.6, gamma=2.0, use_focal=True,
+                  pos_thresh=1.4, neg_thresh=0.35)
+        dense = dycon.fecl_loss(f, m, t, g, **kw)
+        # prove no dense fallback: the chunked path must not call fecl_loss
+        monkeypatch.setattr(dycon, "fecl_loss", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("fecl_loss_chunked fell back to dense")))
+        chunked = dycon.fecl_loss_chunked(f, m, t, g, row_chunk=16, **kw)
+        assert np.isclose(chunked, dense, rtol=1e-5, atol=1e-5), (chunked, dense)
+        monkeypatch.undo()
+        g_dense = jax.grad(lambda x: dycon.fecl_loss(x, m, t, g, **kw))(f)
+        g_chunk = jax.grad(lambda x: dycon.fecl_loss_chunked(x, m, t, g, row_chunk=16, **kw))(f)
+        np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_dense), rtol=1e-4, atol=1e-5)
+
+    def test_indivisible_all_one_class(self, rng):
+        """Degenerate odd-N mask (all class 1): the -1 pad sentinel must
+        land in neither class's positive set nor the negative set."""
+        B, N, D = 1, 7, 8
+        feat = TF.normalize(torch.tensor(rng.normal(size=(B, N, D)).astype(np.float32)), dim=-1)
+        f = jnp.asarray(feat.numpy())
+        m = jnp.ones((B, N), jnp.float32)
+        kw = dict(pos_thresh=1.4, neg_thresh=0.35)
+        dense = dycon.fecl_loss(f, m, None, **kw)
+        chunked = dycon.fecl_loss_chunked(f, m, None, row_chunk=4, **kw)
+        assert np.isclose(chunked, dense, rtol=1e-5, atol=1e-6), (chunked, dense)

@@ -307,12 +307,18 @@ class TestDeterminism:
                             max_iterations=2, val_every=100)
             t = Trainer(cfg)
             losses = []
-            orig = t.train_step
-            def wrapped(state, batch, key, scalars):
-                s, m = orig(state, batch, key, scalars)
-                losses.append(unpack_scalars(m)["loss"])
-                return s, m
-            t.train_step = wrapped
+            def wrap(orig):
+                def wrapped(state, batch, key, scalars):
+                    s, m = orig(state, batch, key, scalars)
+                    losses.append(unpack_scalars(m)["loss"])
+                    return s, m
+                return wrapped
+            # wrap BOTH twins: with step_diagnostics="cadence" (the
+            # default) off-cadence iterations dispatch the light step
+            # (when not on cadence, light IS full — avoid double-wrap)
+            distinct = t.train_step_light is not t.train_step
+            t.train_step = wrap(t.train_step)
+            t.train_step_light = wrap(t.train_step_light) if distinct else t.train_step
             t.run()
             return losses
 

@@ -1,6 +1,8 @@
 """Headline benchmark: sliding-window inference throughput (volumes/sec)
-on the BraTS-2019 eval protocol — the metric BASELINE.md targets at >=5x
-an A100 running the reference implementation.
+on the BraTS-2019 eval protocol — the per-chip perf statement
+BASELINE.md's roofline section frames (measured same-chip reference-loop
+ratio + dense MFU; no cross-hardware estimates — no A100 exists here to
+measure).
 
 Protocol (reference test_BraTS19.py:68-71): volume (192, 192, 64),
 patch (96, 96, 96), stride_xy 16, stride_z 4 -> 49 patches per volume.
@@ -40,11 +42,14 @@ os.environ.setdefault(
 # Measured by scripts/bench_reference_loop.py on this chip (see docstring).
 REFERENCE_PROTOCOL_VOLS_PER_SEC = 0.0511
 
-# The same reference loop on a co-located A100 host (GB/s PCIe instead of
-# this image's tens-of-MB/s relay link) is ESTIMATED at ~2 vols/sec
-# (BASELINE.md); reported alongside vs_baseline so the measured
-# same-chip ratio is never mistaken for an A100 comparison.
-A100_ESTIMATE_VOLS_PER_SEC = 2.0
+# Dense (mathematically necessary, 27-tap) forward FLOPs for the
+# protocol's 49 patches/volume, counted by XLA cost analysis
+# (scripts/flops_roofline.py -> bench_results/roofline.json). Used to
+# report per-chip model-FLOP utilization against the v5e's 197 TFLOP/s
+# bf16 peak — the measured per-chip perf statement BASELINE.md's
+# roofline section explains (no cross-hardware estimates).
+DENSE_FLOPS_PER_VOLUME = 5.7496e12
+V5E_BF16_PEAK_FLOPS = 197.0e12
 
 
 def main() -> None:
@@ -131,7 +136,9 @@ def main() -> None:
         "value": round(vols_per_sec, 4),
         "unit": "vols/sec",
         "vs_baseline": round(vols_per_sec / REFERENCE_PROTOCOL_VOLS_PER_SEC, 3),
-        "vs_a100_estimate": round(vols_per_sec / A100_ESTIMATE_VOLS_PER_SEC, 3),
+        "dense_mfu": round(
+            vols_per_sec * DENSE_FLOPS_PER_VOLUME / V5E_BF16_PEAK_FLOPS, 4
+        ),
         "compute_only_vols_per_sec": round(compute_only, 4),
         "link_bound_share": round(max(0.0, 1.0 - vols_per_sec / compute_only), 4),
         "passes": passes,

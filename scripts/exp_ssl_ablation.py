@@ -37,6 +37,16 @@ def main():
     p.add_argument("--base_lr", type=float, default=0.01)
     p.add_argument("--patch_size", type=int, nargs=3, default=(64, 64, 48))
     p.add_argument("--val_every", type=int, default=None)
+    # dataset geometry (round-5: the canonical-scale ablation uses the
+    # reference protocol's 62 train / 20 test at (128,128,112) with the
+    # HARD task, vs round-4's reduced 40/8 at (96,96,64))
+    p.add_argument("--n_train", type=int, default=40)
+    p.add_argument("--n_test", type=int, default=8)
+    p.add_argument("--shape", type=int, nargs=3, default=(96, 96, 64))
+    # internal clean-exit bound per TRAINING arm — never bound these
+    # runs with an external `timeout` kill (relay-wedge trigger,
+    # CLAUDE.md); 0 = unbounded
+    p.add_argument("--time_budget_s", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=None,
                    help="trainer seed (init + sampling); the dataset stays "
                         "fixed so a second seed isolates training "
@@ -51,7 +61,8 @@ def main():
 
     if not os.path.exists(os.path.join(args.root, "train.list")):
         print("generating hard dataset ...", flush=True)
-        make_hard_pancreas(args.root)
+        make_hard_pancreas(args.root, n_train=args.n_train, n_test=args.n_test,
+                           shape=tuple(args.shape))
 
     from dycon_paper_replication_tpu.config import make_config
     from dycon_paper_replication_tpu.train.trainer import Trainer
@@ -76,6 +87,7 @@ def main():
             val_every=args.val_every or max(args.iters // 10, 100),
             save_every=args.iters,
             base_lr=args.base_lr,
+            time_budget_s=args.time_budget_s,
             # consistency ramp scaled to the shorter run (reference uses
             # 200 epochs over 20k iters; keep the same fraction)
             consistency_rampup=200.0 * args.iters / 20000.0,

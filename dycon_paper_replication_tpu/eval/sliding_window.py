@@ -283,15 +283,19 @@ class SlidingWindowInference:
             if folded:
                 score = unfold2(score)[..., 0]  # (V, D1, D2, D3)
             # un-pad on device (dynamic slice back to the raw-bucket
-            # window) and compute the uint8 label there too: the common
-            # consumer only needs the thresholded map, and u8 is 4x
-            # cheaper to bring back to host
+            # window) and compute the label there too, BIT-PACKED: the
+            # common consumer only needs the thresholded map, and 1
+            # bit/voxel is 32x cheaper than f32 to bring back over the
+            # host link (unpacked in _finish)
             score = jax.lax.dynamic_slice(
                 score,
                 (0, offsets[0], offsets[1], offsets[2]),
                 (n_vol,) + raw_bucket_shape,
             )
-            return (score > 0.5).astype(jnp.uint8), score
+            from ..ops.bits import packbits_le
+
+            label_bits = packbits_le((score > 0.5).reshape(n_vol, -1))
+            return label_bits, score
 
         self._compiled[key] = run
         return self._compiled[key]
@@ -545,7 +549,16 @@ class SlidingWindowInference:
     @staticmethod
     def _finish(entry, return_score):
         ((label_d, score_d), unpad), rests = entry
-        label = np.asarray(label_d)  # one D2H for the whole group
+        # label ships bit-packed (1 bit/voxel); the raw-bucket shape is
+        # read off the score's DEVICE shape (no transfer when the score
+        # itself isn't fetched)
+        from ..ops.bits import unpackbits_le
+
+        raw_bucket = tuple(score_d.shape[1:])
+        packed = np.asarray(label_d)  # one small D2H for the whole group
+        label = unpackbits_le(packed, int(np.prod(raw_bucket))).reshape(
+            (packed.shape[0],) + raw_bucket
+        )
         score = np.asarray(score_d) if return_score else None
         for i, rest in enumerate(rests):
             yield (

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import TrainConfig
 from ..ops import dycon, losses
+from ..ops.bits import packbits_le as _packbits
 from ..ops.fecl_fused import fecl_loss_fused
 from ..ops.resize import avg_pool_nonoverlap
 from .state import TrainState, ema_update
@@ -275,18 +276,6 @@ def build_train_step(model, optimizer, cfg: TrainConfig, *, diagnostics: bool = 
     return train_step
 
 
-def _packbits(x):
-    """Pack a 0/1 float or int array into uint8 along the LAST axis,
-    little-endian bit order (numpy `np.unpackbits(..., axis=-1,
-    bitorder="little")` inverts it). The last axis pads up to a byte
-    multiple; consumers slice back to the true extent."""
-    w = x.shape[-1]
-    pad = (-w) % 8
-    if pad:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    xb = x.reshape(x.shape[:-1] + (-1, 8)).astype(jnp.int32)
-    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
-    return jnp.sum(xb * weights, axis=-1).astype(jnp.uint8)
 
 
 # order of the packed per-step scalar metrics returned by train_step

@@ -432,9 +432,9 @@ class Trainer:
         # terminates at max_epoch regardless)
         self._stop = False
         light_ok = cfg.step_diagnostics == "cadence"
-        # pending = (metrics, scalars, batch) of a dispatched-but-not-yet
-        # -fetched iteration (fetch_ahead=1): its D2H round trip overlaps
-        # the next step's compute instead of serializing with it
+        # pending = (metrics, scalars, batch, t_disp) of a dispatched-but
+        # -not-yet-fetched iteration (fetch_ahead=1): its D2H round trip
+        # overlaps the next step's compute instead of serializing with it
         pending = None
         for epoch_idx, batch in self.loader.epochs(max(1, self.max_epoch - start_epoch)):
             epoch = start_epoch + epoch_idx

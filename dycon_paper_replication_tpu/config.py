@@ -101,6 +101,18 @@ class TrainConfig:
     # so the run is resumable. A clean bound beats an external
     # `timeout` kill, which can wedge the TPU relay (CLAUDE.md).
     time_budget_s: float = 0.0
+    # host-RSS watchdog (GB, 0 = disabled): when the process's resident
+    # set crosses this bar the trainer saves a periodic checkpoint and
+    # exits cleanly (same resumable path as time_budget_s) instead of
+    # being OOM-killed mid-step. Motivated by a measured ~28.5 MB/iter
+    # host-RSS creep on the relay-tunneled v5e (exactly one batch's
+    # f16+u8 wire bytes per step — H2D staging retained inside the
+    # remote-device plugin, outside this process's control): a 20k-iter
+    # canonical run was OOM-killed at iteration 8548 with 130 GB
+    # anon-RSS. The trainer also deletes consumed batch device buffers
+    # and runs periodic gc (trainer.py) to keep what IS controllable
+    # bounded.
+    host_rss_exit_gb: float = 100.0
     # host-loop pipelining: with fetch_ahead=1 (the default — measured
     # -7.6% wall/iter on the v5e and proven bit-identical to the sync
     # loop by tests/test_train.py) the trainer dispatches iteration N+1
@@ -258,6 +270,8 @@ def build_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--save_every", type=int, default=d.save_every)
     p.add_argument("--time_budget_s", type=float, default=d.time_budget_s,
                    help="wall-clock budget; 0 = unlimited (clean exit + resumable ckpt)")
+    p.add_argument("--host_rss_exit_gb", type=float, default=d.host_rss_exit_gb,
+                   help="host-RSS bar; crossing it saves + exits cleanly (0 = off)")
     p.add_argument("--fetch_ahead", type=int, default=d.fetch_ahead, choices=[0, 1],
                    help="1 = defer each iteration's metric fetch behind the next dispatch")
     p.add_argument("--step_diagnostics", type=str, default=d.step_diagnostics,

@@ -70,6 +70,19 @@ def _compute_dtype(cfg: TrainConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+_PAGE_GB = os.sysconf("SC_PAGE_SIZE") / 1024**3 if hasattr(os, "sysconf") else 0.0
+
+
+def _host_rss_gb() -> float:
+    """This process's resident set in GB (0.0 where /proc is absent).
+    One small read — cheap enough for an every-20-iterations watchdog."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * _PAGE_GB
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig):
         if cfg.data_parallel > 1:
@@ -333,6 +346,7 @@ class Trainer:
             self.log.info(
                 "NaN or Inf found in loss at iteration %d — skipped", iter_num
             )
+            self._release_batch(batch)
             return iter_num
         iter_num += 1
 
@@ -400,6 +414,7 @@ class Trainer:
             )
             for tag, tval in self.timer.stats().items():
                 self.log.scalar(f"perf/{tag}", tval, iter_num)
+            self.log.scalar("perf/host_rss_gb", _host_rss_gb(), iter_num)
 
         if iter_num % cfg.save_every == 0:
             checkpoint.save_checkpoint(
@@ -407,9 +422,35 @@ class Trainer:
                 self._copy_state(self.state),
                 meta={"step": iter_num, "best_dice": self.best_performance},
             )
+        # this iteration's batch is fully consumed (the scalar fetch
+        # above proves the step executed; HD95 read the label above):
+        # free its device buffers NOW instead of waiting for GC — on the
+        # relay-tunneled device the plugin stages every H2D host-side,
+        # so a lazily-collected batch pins ~29 MB of host RAM
+        self._release_batch(batch)
+        if iter_num % 100 == 0:
+            # large per-iteration objects (device-array wrappers, metric
+            # dicts) can sit in reference cycles; gen-2 collections are
+            # rare by default on allocation-light loops, so force one on
+            # a cadence (~ms per call, amortized to noise)
+            import gc
+
+            gc.collect()
         if iter_num >= cfg.max_iterations:
             self._stop = True
         return iter_num
+
+    @staticmethod
+    def _release_batch(batch) -> None:
+        """Eagerly free a consumed batch's device buffers (no-op for
+        numpy/already-deleted values)."""
+        for arr in batch.values():
+            delete = getattr(arr, "delete", None)
+            if delete is not None:
+                try:
+                    delete()
+                except Exception:  # noqa: BLE001 — already-freed/donated
+                    pass
 
     def run(self) -> float:
         import time as _time
@@ -492,7 +533,22 @@ class Trainer:
                     break
             else:
                 pending = (m, scalars, batch, t_disp)
+            stop_reason = None
             if cfg.time_budget_s and _time.monotonic() - t_start >= cfg.time_budget_s:
+                stop_reason = f"Time budget {cfg.time_budget_s:.0f}s exceeded"
+            elif cfg.host_rss_exit_gb and iter_num % 20 == 0:
+                rss = _host_rss_gb()
+                if rss >= cfg.host_rss_exit_gb:
+                    # the relay plugin leaks ~29 MB of host H2D staging
+                    # per step (see config.host_rss_exit_gb): exit
+                    # cleanly and resumably BEFORE the kernel OOM-kills
+                    # the process mid-step (which forfeits up to
+                    # save_every iterations and can wedge the relay)
+                    stop_reason = (
+                        f"Host RSS {rss:.1f} GB >= host_rss_exit_gb "
+                        f"{cfg.host_rss_exit_gb:.0f}"
+                    )
+            if stop_reason:
                 # clean resumable exit BEFORE the next step launches (an
                 # external kill mid-program can wedge the TPU relay):
                 # drain the in-flight iteration, save, stop
@@ -505,8 +561,7 @@ class Trainer:
                     meta={"step": iter_num, "best_dice": self.best_performance},
                 )
                 self.log.info(
-                    "Time budget %.0fs exceeded at iteration %d — saved and stopping",
-                    cfg.time_budget_s, iter_num,
+                    "%s at iteration %d — saved and stopping", stop_reason, iter_num
                 )
                 break
         if pending is not None and not self._stop:

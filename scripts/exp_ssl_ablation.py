@@ -55,6 +55,14 @@ def main():
                    help="skip training; dense-eval the existing best "
                         "checkpoints under --work (resume after a crash "
                         "in the test phase)")
+    p.add_argument("--train_only", action="store_true",
+                   help="train the arm and exit before the dense eval "
+                        "(orchestrators loop train_only legs — fresh "
+                        "process each — until final_iter reaches --iters, "
+                        "then invoke --test_only once)")
+    p.add_argument("--resume", type=str, default="",
+                   help='passed through to the trainer ("auto" resumes '
+                        "the arm's latest checkpoint)")
     args = p.parse_args()
 
     from dycon_paper_replication_tpu.data.synthetic import make_hard_pancreas
@@ -91,13 +99,23 @@ def main():
             # consistency ramp scaled to the shorter run (reference uses
             # 200 epochs over 20k iters; keep the same fraction)
             consistency_rampup=200.0 * args.iters / 20000.0,
+            resume=args.resume,
             **({"seed": args.seed} if args.seed is not None else {}),
             **arm_overrides[arm],
         )
         print(f"=== arm {arm}: training {args.iters} iters ===", flush=True)
-        best = Trainer(cfg).run()
-        results[arm] = dict(best_val_dice=float(best))
+        t = Trainer(cfg)
+        best = t.run()
+        results[arm] = dict(best_val_dice=float(best), final_iter=int(t.state.step))
         print(json.dumps({"arm": arm, **results[arm]}), flush=True)
+
+    if args.train_only:
+        # orchestrators re-invoke with --resume auto in a FRESH process
+        # when final_iter < iters: the host-RSS watchdog
+        # (config.host_rss_exit_gb — the relay plugin leaks ~29 MB of
+        # H2D staging per step) bounds each PROCESS, so restarts must
+        # not share one
+        return
 
     # dense test-set eval of each arm's best checkpoint
     from dycon_paper_replication_tpu.cli import test_pancreas

@@ -253,6 +253,32 @@ class TestTrainerEndToEnd:
         for a, b in zip(ref_leaves, pipe_leaves):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_host_rss_watchdog_exits_cleanly_and_resumes(self, tmp_path):
+        """host_rss_exit_gb: crossing the RSS bar saves a periodic
+        checkpoint and stops — the resumable-exit path that replaces an
+        OOM kill (the relay plugin leaks ~29 MB of H2D staging per step;
+        a 20k canonical run died at iter 8548 / 130 GB before this).
+        A bar of ~0 trips at the first watchdog cadence (iter 20)."""
+        from dycon_paper_replication_tpu.data import synthetic
+        from dycon_paper_replication_tpu.train.trainer import Trainer
+
+        root = tmp_path / "Pancreas"
+        synthetic.make_pancreas(str(root), n_train=6, n_test=2, shape=(40, 40, 24))
+        kw = dict(
+            root_dir=str(root), snapshot_root=str(tmp_path / "runs"),
+            max_iterations=60, val_every=100, save_every=1000,
+            host_rss_exit_gb=1e-6,
+        )
+        t = Trainer(_tiny_cfg(**kw))
+        t.run()
+        stopped_at = int(t.state.step)
+        assert 20 <= stopped_at < 60  # tripped on the 20-iter cadence
+        # the exit saved a checkpoint at the stop step and resume works
+        t2 = Trainer(_tiny_cfg(**{**kw, "resume": "auto", "host_rss_exit_gb": 0.0}))
+        assert int(t2.state.step) == stopped_at
+        t2.run()
+        assert int(t2.state.step) == 60
+
     def test_vnet_full_loop_with_val_and_checkpoint(self, tmp_path):
         """--model vnet drives the identical trainer+val+checkpoint loop
         (VNet as a peer model family, reference VNet.py:145-239; the

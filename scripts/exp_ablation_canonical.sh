@@ -51,7 +51,9 @@ for seed in 1337 2337 3337; do
         say "seed=$seed arm=$arm: only ${budget}s left — stopping at iter $last_it"
         break
       fi
-      [ "$budget" -gt 2700 ] && budget=2700
+      # generous cap: the host-RSS watchdog is the OOM guard; if the
+      # gc/delete mitigations hold, a whole 5000-iter arm fits one leg
+      [ "$budget" -gt 3600 ] && budget=3600
       resume_flags=()
       [ "${last_it:-0}" -gt 0 ] && resume_flags=(--resume auto)
       say "leg seed=$seed arm=$arm attempt=$attempt from iter $last_it (budget ${budget}s)"

@@ -86,6 +86,7 @@ make_pancreas('$DATA', n_train=62, n_test=20, shape=(128,128,112))
 fi
 
 leg=0
+noprog=0
 it=$(last_iter); it=${it:-0}
 while [ "$it" -lt 20000 ]; do
   now=$(date +%s)
@@ -104,10 +105,14 @@ while [ "$it" -lt 20000 ]; do
   say "leg$leg rc=$rc: iter $it -> $new_it"
   refresh_artifacts
   if [ "$new_it" -le "$it" ]; then
-    say "leg$leg made no progress — aborting finish-up loop"
+    noprog=$(( noprog + 1 ))
+    say "leg$leg made no progress (strike $noprog/2)"
     cp "$WORK/leg$leg.log" bench_results/r05_leg_noprogress.log 2>/dev/null
     commit_artifacts "Canonical 20k: no-progress leg log"
-    break
+    if [ "$noprog" -ge 2 ]; then say "two no-progress legs — aborting finish-up loop"; break; fi
+    sleep 300   # transient relay weather — settle before retrying
+  else
+    noprog=0
   fi
   it=$new_it
   leg=$(( leg + 1 ))

@@ -37,9 +37,16 @@ WORK = os.path.join(REPO, ".scratch", "canon20k")
 DATA = os.path.join(WORK, "Pancreas")
 RUNS = os.path.join(WORK, "runs")
 
-LEG_DEADLINE = 1787218080  # 09:28 UTC — no new training leg work past this
-EVAL_START_CUTOFF = 1787218440  # 09:34 UTC — still worth starting the eval
-HARD_ABORT = 1787219700  # 09:55 UTC — subprocess timeout bound
+# Deadlines extended at 05:50 UTC (mirrored into the live snapshot copy
+# before its bench slot fired): the follow-on builder session owns the
+# TPU window well past the chain's original 09:45 hard-stop guess, so
+# the run can actually REACH 20000 and the dense eval isn't squeezed
+# against a subprocess kill (a timeout kill mid-compile risks wedging
+# the relay, CLAUDE.md). The tail orchestrator
+# (scripts/tpu_tail_r5_final.sh) reruns the eval if it is skipped here.
+LEG_DEADLINE = 1787220600  # 10:10 UTC — no new training leg work past this
+EVAL_START_CUTOFF = 1787220600  # 10:10 UTC — still worth starting the eval
+HARD_ABORT = 1787223000  # 10:50 UTC — subprocess timeout bound
 
 
 def say(msg: str) -> None:

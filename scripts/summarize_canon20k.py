@@ -75,10 +75,29 @@ def main():
     # leg boundaries from the chain log
     try:
         legs = []
-        for line in open(args.chain):
-            m = re.search(r"leg(\d+) rc=(\d+): iter (\d+) -> (\d+)", line)
+        chain_lines = list(open(args.chain))
+        # auxiliary leg sources: the bench-slot finisher logs to stderr
+        # (captured as bench_r5.err) and the tail orchestrator keeps its
+        # own log — scan them too when present
+        for extra in (
+            ".scratch/canon20k/bench_r5.err",
+            "bench_results/r05_finisher.log",
+            "bench_results/r05_tail_final.log",
+        ):
+            try:
+                chain_lines += list(open(extra))
+            except OSError:
+                pass
+        for line in chain_lines:
+            # chain legs: "leg3 rc=0: iter X -> Y"; bench-slot finisher
+            # legs: "finishing leg F1: iter X -> Y"; tail-orchestrator
+            # legs: "tail leg T0 rc=0: iter X -> Y"
+            m = re.search(
+                r"leg ?([FT]?\d+)(?: rc=(\d+))?: iter (\d+) -> (\d+)", line
+            )
             if m:
-                legs.append(tuple(int(g) for g in m.groups()))
+                legs.append((m.group(1), m.group(2) or "-",
+                             int(m.group(3)), int(m.group(4))))
         if legs:
             print("\nresume legs (leg rc from -> to):")
             for leg in legs:

@@ -67,7 +67,12 @@ def main():
         print(f"steps/sec median (35-val win)  : {statistics.median(sps):.4f}"
               f"  -> wall/iter {1.0/statistics.median(sps):.3f} s")
     if p50:
-        print(f"device step ms p50 (median)    : {statistics.median(p50):.1f}")
+        # under the pipelined loop (fetch_ahead=1, the TPU default) this
+        # timer spans dispatch -> deferred fetch, i.e. ~2 device steps +
+        # host overhead — NOT the bare step time (416 ms for this config,
+        # BASELINE.md); it is the per-iteration pipeline latency.
+        print(f"dispatch->fetch latency ms p50 : {statistics.median(p50):.1f}"
+              f"  (~2 steps under fetch_ahead=1)")
     if rss:
         print(f"host RSS GB (min/median/max)   : {min(rss):.1f}/"
               f"{statistics.median(rss):.1f}/{max(rss):.1f}")
